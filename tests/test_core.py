@@ -1,0 +1,146 @@
+"""Core utility, gradient-estimator and kernel tests.
+
+The Pallas kernel equivalence tests run the kernel in interpreter mode on
+CPU and assert exact index agreement with the XLA formulation — the kernels
+are an optimization layer, never a semantics layer (SURVEY.md §7).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqtpu.core import utils as U
+from vqtpu.core import ste
+from vqtpu.core.sampling import gumbel_sample, masked_sample_vectors
+from vqtpu.kernels.distance import nearest_code, nearest_code_xla
+
+
+def test_l2norm_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 7))
+    y = U.l2norm(x)
+    norms = jnp.linalg.norm(y, axis=-1)
+    assert jnp.allclose(norms, 1.0, atol=1e-5)
+
+
+def test_cdist_matches_direct():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 3))
+    direct = jnp.sqrt(((x[:, :, None, :] - y[:, None, :, :]) ** 2).sum(-1))
+    # the squared-expansion formulation loses a few bits to cancellation for
+    # nearby points; the reference uses the same formulation (cdist :58-62)
+    assert jnp.allclose(U.cdist(x, y), direct, atol=5e-3)
+
+
+def test_lens_to_mask():
+    mask = U.lens_to_mask(jnp.array([2, 0, 3]), 3)
+    expected = jnp.array([[1, 1, 0], [0, 0, 0], [1, 1, 1]], bool)
+    assert (mask == expected).all()
+
+
+def test_masked_mean_matches_boolean_indexing():
+    t = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 3))
+    mask = jnp.array([[1, 1, 0, 0, 0], [1, 1, 1, 1, 0]], bool)
+    got = U.masked_mean(t, mask)
+    want = np.asarray(t)[np.asarray(mask)].mean()
+    assert jnp.allclose(got, want, atol=1e-6)
+
+
+def test_straight_through_value_and_grad():
+    src = jnp.array([1.0, 2.0])
+    tgt = jnp.array([5.0, 7.0])
+    out = ste.straight_through(src, tgt)
+    assert jnp.allclose(out, tgt)
+    g = jax.grad(lambda s: ste.straight_through(s, tgt).sum())(src)
+    assert jnp.allclose(g, 1.0)
+
+
+def test_round_ste():
+    z = jnp.array([0.4, 1.6, -2.3])
+    assert jnp.allclose(ste.round_ste(z), jnp.round(z))
+    g = jax.grad(lambda t: ste.round_ste(t).sum())(z)
+    assert jnp.allclose(g, 1.0)
+
+
+def test_rotate_to_forward_value_close_to_target():
+    key = jax.random.PRNGKey(0)
+    src = jax.random.normal(key, (8, 16))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+    out = ste.rotate_to(src, tgt)
+    # forward value equals the target mathematically (rotation maps src-dir
+    # to tgt-dir and rescales); allow float error
+    assert jnp.allclose(out, tgt, atol=1e-4)
+    g = jax.grad(lambda s: (ste.rotate_to(s, tgt) ** 2).sum())(src)
+    assert jnp.isfinite(g).all()
+
+
+def test_directional_reparam_value():
+    key = jax.random.PRNGKey(0)
+    src = jax.random.normal(key, (4, 8))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    out = ste.directional_reparam(jax.random.PRNGKey(2), src, tgt, noise_variance=0.0)
+    # with zero noise the output is exactly the target
+    assert jnp.allclose(out, tgt, atol=1e-5)
+
+
+def test_frac_gradient():
+    x = jnp.array([3.0])
+    for frac, expected in ((0.0, 0.0), (0.5, 0.5), (1.0, 1.0)):
+        g = jax.grad(lambda t: ste.frac_gradient(t, frac).sum())(x)
+        assert jnp.allclose(g, expected)
+
+
+def test_gumbel_sample_argmax():
+    logits = jnp.array([[0.1, 2.0, -1.0], [3.0, 0.0, 0.5]])
+    ind, one_hot = gumbel_sample(None, logits, training=False)
+    assert (ind == jnp.array([1, 0])).all()
+    assert (one_hot.argmax(-1) == ind).all()
+
+
+def test_gumbel_sample_topk():
+    logits = jnp.array([[0.1, 2.0, -1.0, 1.5]])
+    ind, one_hot = gumbel_sample(None, logits, training=False, topk=2)
+    assert ind.shape == (1, 2)
+    assert (ind[0] == jnp.array([1, 3])).all()
+    assert one_hot.shape == (1, 2, 4)
+
+
+def test_gumbel_sample_straight_through_grads():
+    logits = jnp.array([[0.1, 2.0, -1.0]])
+
+    def f(l):
+        _, oh = gumbel_sample(
+            None, l, temperature=1.0, straight_through=True, training=True
+        )
+        return (oh * jnp.arange(3)).sum()
+
+    g = jax.grad(f)(logits)
+    assert (jnp.abs(g) > 0).any()
+
+
+def test_masked_sample_vectors_only_selects_valid():
+    samples = jnp.arange(10, dtype=jnp.float32)[:, None]
+    mask = jnp.array([1, 0, 1, 0, 0, 0, 0, 0, 0, 0], bool)
+    out = masked_sample_vectors(jax.random.PRNGKey(0), samples, mask, 32)
+    assert set(np.unique(np.asarray(out))) <= {0.0, 2.0}
+
+
+@pytest.mark.parametrize('metric', ('euclidean', 'cosine'))
+@pytest.mark.parametrize('n,c,d', ((300, 130, 96), (1024, 512, 256), (64, 8, 32)))
+def test_nearest_code_kernel_matches_xla(metric, n, c, d):
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+    e = jax.random.normal(jax.random.PRNGKey(1), (c, d))
+    if metric == 'cosine':
+        x = U.l2norm(x)
+        e = U.l2norm(e)
+    want = nearest_code_xla(x, e, metric)
+    got = nearest_code(x, e, metric, interpret=True)
+    assert (want == got).all()
+
+
+def test_nearest_code_batched_heads():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 50, 16))
+    e = jax.random.normal(jax.random.PRNGKey(1), (3, 20, 16))
+    want = jax.vmap(nearest_code_xla)(x, e)
+    got = nearest_code(x, e, interpret=True)
+    assert (want == got).all()

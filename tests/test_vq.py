@@ -1,0 +1,272 @@
+"""VectorQuantize behavior tests, mirroring the reference suite
+(/root/reference/tests/test_readme.py — round-trip, masking, EMA
+observability oracles) plus jit/grad coverage the reference lacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+
+from vqtpu.quantizers.vq import VectorQuantize
+
+
+@pytest.mark.parametrize('use_cosine_sim', (True, False))
+@pytest.mark.parametrize('rotation_trick', (True, False))
+def test_vq(use_cosine_sim, rotation_trick):
+    vq = VectorQuantize(
+        dim=64, codebook_size=128, decay=0.8, commitment_weight=1.0,
+        use_cosine_sim=use_cosine_sim, rotation_trick=rotation_trick,
+        rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 64))
+    quantized, indices, commit_loss = vq(x)
+    assert quantized.shape == x.shape
+    assert indices.shape == (1, 256)
+    assert jnp.isfinite(commit_loss)
+
+
+def test_vq_eval_round_trip():
+    vq = VectorQuantize(
+        dim=64, codebook_size=128, decay=0.8, commitment_weight=1.0,
+        rngs=nnx.Rngs(0),
+    ).eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 64))
+    quantized, indices, _ = vq(x)
+    assert jnp.allclose(quantized, vq.get_output_from_indices(indices), atol=1e-5)
+
+
+def test_vq_mask_equals_sliced():
+    """Masked forward over the full sequence must agree with an unmasked
+    forward over the valid prefix (reference test_vq_mask)."""
+    vq = VectorQuantize(
+        dim=64, codebook_size=128, decay=1.0, commitment_weight=1.0,
+        rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 64))
+    lens = jnp.full((1,), 128)
+
+    quantized, indices, commit_loss = vq(x[:, :128])
+    mask_quantized, mask_indices, mask_commit_loss = vq(x, lens=lens)
+
+    assert jnp.allclose(commit_loss, mask_commit_loss, atol=1e-5)
+    assert jnp.allclose(quantized, mask_quantized[:, :128], atol=1e-5)
+    assert (indices == mask_indices[:, :128]).all()
+    assert (mask_quantized[:, 128:] == 0.0).all()
+    assert (mask_indices[:, 128:] == -1).all()
+
+
+def test_vq_lower_codebook_dim():
+    vq = VectorQuantize(dim=64, codebook_size=64, codebook_dim=16, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 64))
+    quantized, indices, _ = vq(x)
+    assert quantized.shape == x.shape
+
+
+def test_vq_cosine_sim():
+    vq = VectorQuantize(dim=64, codebook_size=64, use_cosine_sim=True, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 64))
+    quantized, indices, _ = vq(x)
+    assert quantized.shape == x.shape
+
+
+def test_vq_expire_code():
+    vq = VectorQuantize(
+        dim=64, codebook_size=128, threshold_ema_dead_code=2, rngs=nnx.Rngs(0)
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 64))
+    quantized, indices, _ = vq(x)
+    assert quantized.shape == x.shape
+
+
+def test_vq_multiheaded():
+    vq = VectorQuantize(
+        dim=32, codebook_dim=8, heads=4, separate_codebook_per_head=True,
+        codebook_size=64, accept_image_fmap=True, rngs=nnx.Rngs(0),
+    )
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 8, 8))
+    quantized, indices, _ = vq(img)
+    assert quantized.shape == img.shape
+    assert indices.shape == (1, 8, 8, 4)
+
+
+def test_vq_multiheaded_shared_codebook_round_trip():
+    vq = VectorQuantize(
+        dim=32, codebook_dim=8, heads=4, codebook_size=64, rngs=nnx.Rngs(0)
+    ).eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    quantized, indices, _ = vq(x)
+    assert indices.shape == (2, 16, 4)
+    assert jnp.allclose(quantized, vq.get_output_from_indices(indices), atol=1e-5)
+
+
+def test_vq_3d_fmap():
+    vq = VectorQuantize(
+        dim=16, codebook_size=64, accept_3d_fmap=True, rngs=nnx.Rngs(0)
+    ).eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8, 8, 8))
+    quantized, indices, _ = vq(x)
+    assert quantized.shape == x.shape
+    assert indices.shape == (1, 8, 8, 8)
+    assert jnp.allclose(quantized, vq.get_output_from_indices(indices), atol=1e-5)
+
+
+def test_vq_channel_first():
+    vq = VectorQuantize(
+        dim=32, codebook_size=64, channel_last=False, rngs=nnx.Rngs(0)
+    ).eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 48))
+    quantized, indices, _ = vq(x)
+    assert quantized.shape == x.shape
+    assert jnp.allclose(quantized, vq.get_output_from_indices(indices), atol=1e-5)
+
+
+def test_vq_single_token():
+    vq = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32))
+    quantized, indices, _ = vq(x)
+    assert quantized.shape == (4, 32)
+    assert indices.shape == (4,)
+
+
+@pytest.mark.parametrize('use_cosine_sim', (False, True))
+@pytest.mark.parametrize('use_callable', (False, True))
+def test_vq_custom_ema_update_weighting(use_cosine_sim, use_callable):
+    """Exactly the weighted rows must move (reference
+    test_vq_custom_ema_update_weighting)."""
+    vq = VectorQuantize(
+        dim=64, use_cosine_sim=use_cosine_sim, codebook_dim=32, codebook_size=8,
+        decay=0.8, rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 128, 64))
+    before = np.array(vq.codebook)
+
+    weights = jnp.array([1.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+    weight_arg = (lambda es, cs: weights) if use_callable else weights
+
+    vq(x, ema_update_weight=weight_arg)
+
+    after = np.array(vq.codebook)
+    did = np.asarray(weights).astype(bool)
+    assert np.allclose(before[~did], after[~did], atol=1e-6)
+    assert (before[did] != after[did]).all()
+
+
+def test_accum_ema_update():
+    """Accumulate-then-apply semantics (reference test_accum_ema_update)."""
+    vq = VectorQuantize(
+        dim=64, use_cosine_sim=True, codebook_dim=32, codebook_size=8,
+        decay=0.8, commitment_weight=1.0, rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 128, 64))
+    before = np.array(vq.codebook)
+
+    vq(x, accum_ema_update=True)
+    vq(x, accum_ema_update=True)
+    assert np.allclose(before, np.array(vq.codebook), atol=1e-6)
+
+    vq(x)
+    assert not np.allclose(before, np.array(vq.codebook), atol=1e-6)
+
+
+def test_vq_kmeans_init_under_jit():
+    vq = VectorQuantize(
+        dim=32, codebook_size=64, kmeans_init=True, kmeans_iters=5, rngs=nnx.Rngs(0)
+    )
+    assert not bool(vq._codebook.initted[...])
+
+    @nnx.jit
+    def step(vq, x):
+        return vq(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 256, 32))
+    step(vq, x)
+    assert bool(vq._codebook.initted[...])
+    embed_after_init = np.array(vq.codebook)
+    step(vq, jax.random.normal(jax.random.PRNGKey(1), (1, 256, 32)))
+    # second step must not re-init (embed evolves by EMA, not kmeans reset)
+    assert not np.allclose(embed_after_init, np.array(vq.codebook))
+
+
+def test_vq_learnable_codebook_inplace_optimizer():
+    vq = VectorQuantize(
+        dim=32, codebook_size=64, learnable_codebook=True, ema_update=False,
+        in_place_codebook_optimizer=optax.sgd(1e-2), rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 32))
+    before = np.array(vq.codebook)
+    _, _, _, breakdown = vq(x, return_loss_breakdown=True)
+    assert float(breakdown.inplace_optimize) > 0
+    assert not np.allclose(before, np.array(vq.codebook))
+
+
+def test_vq_ce_loss_on_given_indices():
+    vq = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32))
+    _, indices, _ = vq(x)
+    quantized, ce_loss = vq(x, indices=indices)
+    assert quantized.shape == x.shape
+    assert jnp.isfinite(ce_loss)
+
+
+def test_vq_freeze_codebook():
+    vq = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32))
+    before = np.array(vq.codebook)
+    vq(x, freeze_codebook=True)
+    assert np.allclose(before, np.array(vq.codebook))
+
+
+def test_vq_losses_and_estimators():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32))
+
+    vq = VectorQuantize(
+        dim=32, codebook_size=64,
+        codebook_diversity_loss_weight=1.0,
+        orthogonal_reg_weight=1.0,
+        orthogonal_reg_active_codes_only=True,
+        orthogonal_reg_max_codes=16,
+        rngs=nnx.Rngs(0),
+    )
+    _, _, loss, breakdown = vq(x, return_loss_breakdown=True)
+    assert jnp.isfinite(loss)
+    assert jnp.isfinite(breakdown.codebook_diversity)
+    assert jnp.isfinite(breakdown.orthogonal_reg)
+
+    vq = VectorQuantize(
+        dim=32, codebook_size=64, directional_reparam=True,
+        threshold_ema_dead_code=2, rngs=nnx.Rngs(0),
+    )
+    q, _, _ = vq(x)
+    assert q.shape == x.shape
+
+    vq = VectorQuantize(
+        dim=32, codebook_size=64, stochastic_sample_codes=True,
+        sample_codebook_temp=0.5, straight_through=True, rotation_trick=False,
+        rngs=nnx.Rngs(0),
+    )
+    q, _, _ = vq(x)
+    assert q.shape == x.shape
+
+
+def test_vq_grad_flows_to_input():
+    vq = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32))
+
+    def loss_fn(m, xx):
+        q, _, loss = m(xx)
+        return (q ** 2).mean() + loss
+
+    g = nnx.grad(loss_fn, argnums=1)(vq, x)
+    assert jnp.isfinite(g).all()
+    assert (jnp.abs(g) > 0).any()
+
+
+def test_vq_update_indices_posthoc_ema():
+    vq = VectorQuantize(dim=32, codebook_size=8, decay=0.8, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 32))
+    _, indices, _ = vq(x, freeze_codebook=True)
+    before = np.array(vq.codebook)
+    vq.update_indices(x, indices)
+    assert not np.allclose(before, np.array(vq.codebook))

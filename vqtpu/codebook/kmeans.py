@@ -1,0 +1,112 @@
+"""K-means codebook initialization (component C2).
+
+Lloyd's algorithm over the first training batch, jit-native: a fixed number
+of iterations, one-hot-matmul scatter (MXU) instead of scatter_add, masked
+token support, and cross-replica reduction via `psum` over an optional mesh
+axis (replacing the reference's pluggable `all_reduce_fn`,
+vector_quantize_pytorch.py:238-278).
+
+Distributed candidate pooling: the reference gathers variably-sized sample
+sets with a rank-0 multinomial split (vector_quantize_pytorch.py:193-229).
+Here every shard contributes a fixed-size candidate buffer via `all_gather`
+and all replicas draw the initial means from the pooled buffer with the same
+PRNG key — deterministic and shape-static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.utils import cdist_sq, l2norm
+from ..core.sampling import masked_sample_vectors
+from ..parallel import collectives
+
+
+def sample_means(
+    key: jax.Array,
+    samples: jax.Array,
+    mask: jax.Array | None,
+    num_clusters: int,
+    sync_axis: str | None = None,
+) -> jax.Array:
+    """Draw initial means: (h, n, d) -> (h, num_clusters, d); when
+    `sync_axis` is set, pool a fixed-size candidate buffer from every
+    replica first so all shards contribute."""
+    h = samples.shape[0]
+
+    def per_head(k, s, m):
+        local = masked_sample_vectors(k, s, m, num_clusters)
+        pooled = collectives.all_gather(local, sync_axis)       # (world*c, d)
+        if sync_axis is not None:
+            idx = jax.random.randint(k, (num_clusters,), 0, pooled.shape[0])
+            return jnp.take(pooled, idx, axis=0)
+        return pooled
+
+    keys = jax.random.split(key, h)
+    masks = mask if mask is not None else [None] * h
+    if mask is not None:
+        return jax.vmap(per_head)(keys, samples, mask)
+    return jax.vmap(lambda k, s: per_head(k, s, None))(keys, samples)
+
+
+def kmeans(
+    key: jax.Array,
+    samples: jax.Array,
+    num_clusters: int,
+    num_iters: int = 10,
+    use_cosine_sim: bool = False,
+    mask: jax.Array | None = None,
+    sync_axis: str | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(h, n, d) samples -> (means (h, c, d), bins (h, c)).
+
+    Masked tokens (mask False) are excluded from assignments and counts.
+    """
+    h, n, d = samples.shape
+    samples = samples.astype(jnp.float32)
+
+    means = sample_means(key, samples, mask, num_clusters, sync_axis)
+
+    weights = None
+    if mask is not None:
+        weights = mask.astype(jnp.float32)                       # (h, n)
+
+    def body(means, _):
+        if use_cosine_sim:
+            dists = jnp.einsum(
+                'hnd,hcd->hnc', samples, means,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dists = -cdist_sq(samples, means)
+
+        buckets = jnp.argmax(dists, axis=-1)                      # (h, n)
+        one_hot = jax.nn.one_hot(buckets, num_clusters, dtype=jnp.float32)
+        if weights is not None:
+            one_hot = one_hot * weights[..., None]
+
+        bins = one_hot.sum(axis=1)                                # (h, c)
+        bins = collectives.psum(bins, sync_axis)
+
+        new_means = jnp.einsum(
+            'hnc,hnd->hcd', one_hot, samples,
+            preferred_element_type=jnp.float32,
+        )
+        new_means = collectives.psum(new_means, sync_axis)
+
+        zero_mask = bins == 0
+        bins_clamped = jnp.where(zero_mask, 1.0, bins)
+        new_means = new_means / bins_clamped[..., None]
+
+        if use_cosine_sim:
+            new_means = l2norm(new_means)
+
+        means = jnp.where(zero_mask[..., None], means, new_means)
+        return means, bins
+
+    bins = jnp.zeros((h, num_clusters), jnp.float32)
+    for _ in range(num_iters):
+        means, bins = body(means, None)
+
+    return means, bins

@@ -1,0 +1,49 @@
+"""Cross-replica collectives, parameterized by an optional mesh axis name.
+
+This is the TPU-native replacement for the reference's torch.distributed
+plumbing (component D1 in SURVEY.md §2; reference
+vector_quantize_pytorch.py:193-229,334-336,603-607). Instead of a `use_ddp`
+flag and NCCL all_reduce calls, every quantizer takes `sync_axis: str | None`.
+When the forward runs inside `shard_map` / `pjit` over a mesh that binds that
+axis, statistics are reduced with `lax.psum` (which rides ICI within a slice
+and DCN across hosts, and is differentiable — covering the reference's
+`torch.distributed.nn.all_reduce` used for the LFQ entropy loss,
+lookup_free_quantization.py:37-43). When `sync_axis is None` the functions
+are identity, which is the single-replica path.
+
+Seed agreement (reference residual_vq.py:96-102) needs no collective at all:
+all replicas derive the same `jax.random` key from the shared rng stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def psum(x, axis: str | None):
+    if axis is None:
+        return x
+    return jax.lax.psum(x, axis_name=axis)
+
+
+def pmean(x, axis: str | None):
+    if axis is None:
+        return x
+    return jax.lax.pmean(x, axis_name=axis)
+
+
+def axis_size(axis: str | None) -> int:
+    if axis is None:
+        return 1
+    return jax.lax.axis_size(axis)
+
+
+def all_gather(x, axis: str | None, *, tiled: bool = True):
+    """Gather a per-replica buffer along the sync axis. Used for pooling
+    dead-code replacement / kmeans candidates across data-parallel shards
+    (fixed-size per-shard buffers replace the reference's variably-sized
+    gather dance, vector_quantize_pytorch.py:193-229)."""
+    if axis is None:
+        return x
+    return jax.lax.all_gather(x, axis_name=axis, tiled=tiled)
