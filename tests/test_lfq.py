@@ -1,0 +1,120 @@
+"""LFQ tests, mirroring reference tests/test_lfq.py (masking incl. all-False,
+statistical CI test on the subsampled per-sample entropy) and
+tests/test_readme.py:300-362."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from vqtpu.quantizers import LFQ
+
+
+@pytest.mark.parametrize('spherical', (True, False))
+@pytest.mark.parametrize('codebook_scale', (1.0, 0.5))
+def test_lfq_round_trip(spherical, codebook_scale):
+    quantizer = LFQ(
+        codebook_size=65536, dim=16, entropy_loss_weight=0.1,
+        diversity_gamma=1.0, spherical=spherical,
+        codebook_scale=codebook_scale, rngs=nnx.Rngs(0),
+    )
+    image_feats = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 16))
+    quantized, indices, entropy_aux_loss = quantizer(image_feats, inv_temperature=100.0)
+    assert (quantized == quantizer.indices_to_codes(indices)).all()
+    assert jnp.isfinite(entropy_aux_loss)
+
+
+def test_lfq_seq_and_video_layouts():
+    quantizer = LFQ(codebook_size=65536, dim=16, rngs=nnx.Rngs(0))
+    seq = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 16))
+    quantized, *_ = quantizer(seq)
+    assert seq.shape == quantized.shape
+
+    video_feats = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 4, 16, 16))
+    quantized, *_ = quantizer(video_feats)
+    assert video_feats.shape == quantized.shape
+
+
+def test_lfq_multi_codebook():
+    quantizer = LFQ(codebook_size=4096, dim=16, num_codebooks=4, rngs=nnx.Rngs(0))
+    image_feats = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16, 16))
+    quantized, indices, _ = quantizer(image_feats)
+    assert image_feats.shape == quantized.shape
+    assert (quantized == quantizer.indices_to_codes(indices)).all()
+
+
+@pytest.mark.parametrize('frac_per_sample_entropy', (1.0, 0.5))
+@pytest.mark.parametrize('mask_vals', ((False, False), (True, False), (True, True)))
+def test_masked_lfq(frac_per_sample_entropy, mask_vals):
+    quantizer = LFQ(
+        codebook_size=65536, dim=16, entropy_loss_weight=0.1,
+        diversity_gamma=1.0, frac_per_sample_entropy=frac_per_sample_entropy,
+        rngs=nnx.Rngs(0),
+    )
+    image_feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 16))
+    mask = jnp.array(mask_vals)
+    ret, _ = quantizer(
+        image_feats, inv_temperature=100.0, return_loss_breakdown=True, mask=mask
+    )
+    quantized, indices, _ = ret
+    assert (quantized == quantizer.indices_to_codes(indices)).all()
+
+
+@pytest.mark.parametrize('mask_vals', (None, (True, False)))
+def test_lfq_frac_per_sample_entropy_unbiased(mask_vals):
+    """Subsampled per-sample entropy must fall inside a 95% CI of the exact
+    value (reference tests/test_lfq.py:38-77)."""
+    image_feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 16))
+    mask = None if mask_vals is None else jnp.array(mask_vals)
+
+    full = LFQ(
+        codebook_size=65536, dim=16, entropy_loss_weight=0.1,
+        diversity_gamma=1.0, frac_per_sample_entropy=1.0, rngs=nnx.Rngs(0),
+    )
+    _, breakdown = full(
+        image_feats, inv_temperature=100.0, return_loss_breakdown=True, mask=mask
+    )
+    true_per_sample_entropy = float(breakdown.per_sample_entropy)
+
+    partial = LFQ(
+        codebook_size=65536, dim=16, entropy_loss_weight=0.1,
+        diversity_gamma=1.0, frac_per_sample_entropy=0.1, rngs=nnx.Rngs(0),
+    )
+    iters = 10
+    losses = []
+    for _ in range(iters):
+        ret, breakdown = partial(
+            image_feats, inv_temperature=100.0, return_loss_breakdown=True, mask=mask
+        )
+        quantized, indices, _ = ret
+        assert (quantized == partial.indices_to_codes(indices)).all()
+        losses.append(float(breakdown.per_sample_entropy))
+
+    losses = np.array(losses)
+    assert abs(losses.mean() - true_per_sample_entropy) < (
+        1.96 * losses.std(ddof=1) / math.sqrt(iters)
+    )
+
+
+def test_lfq_entropy_loss_is_differentiable():
+    quantizer = LFQ(codebook_size=256, dim=8, entropy_loss_weight=0.1,
+                    commitment_loss_weight=0.25, rngs=nnx.Rngs(0))
+
+    def loss_fn(m, x):
+        quantized, indices, aux = m(x)
+        return quantized.sum() * 0.0 + aux
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 8))
+    g = nnx.grad(loss_fn, argnums=1)(quantizer, x)
+    assert jnp.isfinite(g).all() and (jnp.abs(g) > 0).any()
+
+
+def test_lfq_spherical_bsq_normalized():
+    quantizer = LFQ(codebook_size=256, dim=8, spherical=True, rngs=nnx.Rngs(0)).eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 8))
+    quantized, *_ = quantizer(x)
+    norms = jnp.linalg.norm(quantized, axis=-1)
+    assert jnp.allclose(norms, quantizer.codebook_scale, atol=1e-4)

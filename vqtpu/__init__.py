@@ -12,3 +12,18 @@ __all__ = [
     'VectorQuantize',
     'LossBreakdown',
 ]
+
+from .quantizers import (
+    FSQ,
+    FSP,
+    LFQ,
+    LatentQuantize,
+    SimVQ,
+    RandomProjectionQuantizer,
+    BinaryMapper,
+)
+
+__all__ += [
+    'FSQ', 'FSP', 'LFQ', 'LatentQuantize', 'SimVQ',
+    'RandomProjectionQuantizer', 'BinaryMapper',
+]
