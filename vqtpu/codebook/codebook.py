@@ -55,6 +55,8 @@ def _prepare_ema_weight(weight, like: jax.Array):
     if weight is None:
         return 1.0
     weight = jnp.asarray(weight, dtype=jnp.float32)
+    if weight.ndim == 0:
+        return weight
     if weight.ndim == 1:
         weight = weight[None, :]
     assert weight.shape == like.shape[:2], (

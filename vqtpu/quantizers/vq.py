@@ -696,6 +696,19 @@ class VectorQuantize(ModeModule):
 
         loss = jnp.asarray(0.0, jnp.float32)
 
+        if not self.training and topk is not None and self.has_commitment_loss:
+            # per-candidate MSE so eval-time beam search can score beams
+            # (the reference returns a scalar 0 here, which leaves its
+            # eval-mode beam search without a working score signal)
+            target = orig_input.astype(jnp.float32)
+            rep_in = jnp.broadcast_to(target[..., None, :], quantize.shape)
+            cand_loss = ((quantize.astype(jnp.float32) - rep_in) ** 2).mean(axis=-1)
+            if exists(mask):
+                cand_loss = jnp.where(
+                    append_dims_to(mask, cand_loss.ndim), cand_loss, 0.0
+                )
+            loss = cand_loss * self.commitment_weight
+
         if self.training:
             if self.has_codebook_diversity_loss:
                 prob = jax.nn.softmax(
