@@ -1,0 +1,126 @@
+"""Benchmark harness: quantized vectors/sec/chip for the shipped hot path.
+
+Measures `vqtpu.kernels.distance.quantize_lookup` — fused distance + argmin
+selection plus the bit-exact one-hot-matmul code lookup — at the BASELINE.md
+north-star shape (1024-token sequences x 256 dims, codebook 512; 1M tokens
+per step) against a roofline model.
+
+Timing methodology (important on tunneled TPU runtimes where per-call
+dispatch overhead is hundreds of ms and block_until_ready can under-report):
+the op runs `iters` times inside ONE jitted lax.fori_loop with a data
+dependency chaining iterations (bias derived from the previous result, and a
+full reduction over both outputs feeding the carry), and the per-iter time is
+the slope between two iteration counts. This cancels fixed dispatch/transfer
+overhead and prevents XLA from eliding or slicing any of the work.
+
+Roofline: the exact pipeline is MXU-bound — 1 bf16-class pass for selection
+plus 3 passes for the bit-exact one-hot lookup (a f32 operand decomposes
+into 3 bf16 planes; the one-hot side is exact in every pass) — so
+  t_roof = max(bytes_moved / HBM_BW, 4 * 2*n*c*d / peak_bf16_flops).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = achieved / roofline (1.0 == speed-of-light).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+# (bf16 TFLOP/s, HBM GB/s) per chip family
+CHIP_SPECS = {
+    'v5 lite': (197.0, 819.0),     # v5e
+    'v5e': (197.0, 819.0),
+    'v5p': (459.0, 2765.0),
+    'v4': (275.0, 1228.0),
+    'v6': (918.0, 1640.0),         # trillium
+}
+
+
+def detect_specs() -> tuple[float, float]:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, spec in CHIP_SPECS.items():
+        if key in kind:
+            return spec
+    return (197.0, 819.0)
+
+
+def roofline_time(n: int, c: int, d: int, mxu_passes: int = 4) -> float:
+    peak_bf16_tflops, hbm_gbps = detect_specs()
+    compute_time = mxu_passes * 2.0 * n * c * d / (peak_bf16_tflops * 1e12)
+    bytes_moved = n * d * 4 * 2 + n * 4 + c * d * 4
+    memory_time = bytes_moved / (hbm_gbps * 1e9)
+    return max(compute_time, memory_time)
+
+
+def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 2, hi: int = 18) -> float:
+    """Per-iteration time via the slope between `lo` and `hi` chained
+    iterations of the op inside one jitted fori_loop."""
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(x, embed, iters):
+        def body(i, acc):
+            # perturb the codebook by a negligible function of the carry so
+            # no iteration can be CSE'd/hoisted; reduce over both outputs so
+            # no output can be sliced away
+            e = embed + (acc * 1e-20)
+            idx, q = quantize_fn(x, e)
+            return acc + idx.sum().astype(jnp.float32) * 1e-12 + q.sum() * 1e-12
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(chained(x, embed, lo))     # compile both
+    float(chained(x, embed, hi))
+    t0 = time.perf_counter()
+    float(chained(x, embed, lo))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chained(x, embed, hi))
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (hi - lo)
+
+
+def main():
+    from vqtpu.kernels.distance import quantize_lookup
+
+    on_tpu = jax.default_backend() == 'tpu'
+
+    batch, seq, d, c = (1024, 1024, 256, 512) if on_tpu else (8, 1024, 256, 512)
+    n = batch * seq
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+    embed = jax.random.normal(jax.random.PRNGKey(1), (c, d), jnp.float32)
+
+    dt = chained_seconds_per_iter(quantize_lookup, x, embed)
+    vectors_per_sec = n / dt
+
+    if on_tpu:
+        t_roof = roofline_time(n, c, d)
+        vs_baseline = t_roof / dt
+    else:
+        vs_baseline = 0.0
+        t_roof = None
+
+    print(json.dumps({
+        'metric': 'quantize_vectors_per_sec_per_chip',
+        'value': round(vectors_per_sec, 1),
+        'unit': 'vectors/s',
+        'vs_baseline': round(vs_baseline, 4),
+    }))
+
+    print(
+        f'# backend={jax.default_backend()} n={n} c={c} d={d} '
+        f'step={dt * 1e3:.3f}ms'
+        + (f' roofline_step={t_roof * 1e3:.3f}ms '
+           f'({vs_baseline * 100:.1f}% of speed-of-light)'
+           if t_roof else ''),
+        file=sys.stderr,
+    )
+
+
+if __name__ == '__main__':
+    main()

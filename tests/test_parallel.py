@@ -1,0 +1,179 @@
+"""Distributed tests on the 8-device virtual CPU mesh — coverage the
+reference cannot have (its distributed paths are inert under single-process
+pytest, SURVEY.md §4). The bar: psum'd EMA statistics make a sharded run
+bit-identical to a single-device run on the same global batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vqtpu.quantizers import VectorQuantize, LFQ
+from vqtpu.parallel.shard import (
+    DataParallelTrainer,
+    make_mesh,
+    sharded_nearest_code,
+)
+from vqtpu.kernels.distance import nearest_code_xla
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _run_vq_ema(sync_axis, mesh, x):
+    """Run 3 training forwards of an EMA VQ over (optionally sharded) data;
+    return the final codebook."""
+    vq = VectorQuantize(
+        dim=16, codebook_size=32, decay=0.8, sync_axis=sync_axis,
+        rngs=nnx.Rngs(0),
+    )
+    if sync_axis is None:
+        for i in range(3):
+            vq(x[i])
+        return np.array(vq.codebook)
+
+    graphdef, state = nnx.split(vq)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        m(batch)
+        _, new_state = nnx.split(m)
+        return new_state
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P('data')), out_specs=P(),
+        check_vma=False,
+    ))
+    for i in range(3):
+        state = step(state, x[i])
+    vq2 = nnx.merge(graphdef, state)
+    return np.array(vq2.codebook)
+
+
+def test_ema_bit_parity_1dev_vs_8dev():
+    """Same global batch: 8-way sharded EMA (psum'd stats) must match the
+    single-device codebook to float tolerance."""
+    mesh = make_mesh(('data',))
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 8, 16))
+
+    single = _run_vq_ema(None, None, x)
+    sharded = _run_vq_ema('data', mesh, x)
+
+    np.testing.assert_allclose(single, sharded, atol=1e-5)
+
+
+def test_ema_replicas_stay_identical():
+    """After sharded training steps the state must be identical on every
+    device (out_specs=P() asserts replication; this also exercises psum'd
+    kmeans + expiry)."""
+    mesh = make_mesh(('data',))
+    vq = VectorQuantize(
+        dim=16, codebook_size=16, decay=0.8, sync_axis='data',
+        kmeans_init=True, kmeans_iters=3, threshold_ema_dead_code=2,
+        rngs=nnx.Rngs(0),
+    )
+    graphdef, state = nnx.split(vq)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, loss = m(batch)
+        _, new_state = nnx.split(m)
+        return new_state, jax.lax.pmean(loss, 'data')
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P('data')), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 16))
+    state, loss = step(state, x)
+    state, loss = step(state, x)
+    assert jnp.isfinite(loss)
+    vq2 = nnx.merge(graphdef, state)
+    assert bool(vq2._codebook.initted[...])
+
+
+def test_lfq_distributed_entropy_matches_single():
+    """LFQ's batch entropy term psums avg_prob: sharded loss == single-device
+    loss on the same global batch."""
+    mesh = make_mesh(('data',))
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 8))
+
+    lfq_single = LFQ(codebook_size=256, dim=8, rngs=nnx.Rngs(0))
+    _, _, loss_single = lfq_single(x)
+
+    lfq_sharded = LFQ(codebook_size=256, dim=8, sync_axis='data', rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(lfq_sharded)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        _, _, loss = m(batch)
+        # per-sample entropy is a local mean; average it like DDP grad-sync
+        return jax.lax.pmean(loss, 'data')
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P('data')), out_specs=P(),
+        check_vma=False,
+    ))
+    loss_sharded = step(state, x)
+    # the codebook-entropy component is computed from the global avg_prob in
+    # both cases; per-sample entropy is an equal-shard mean == global mean
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=1e-5
+    )
+
+
+def test_data_parallel_trainer_converges():
+    class Model(nnx.Module):
+        def __init__(self, rngs):
+            self.enc = nnx.Linear(8, 16, rngs=rngs)
+            self.vq = VectorQuantize(
+                dim=16, codebook_size=32, sync_axis='data', rngs=rngs
+            )
+            self.dec = nnx.Linear(16, 8, rngs=rngs)
+
+        def __call__(self, x):
+            z = self.enc(x)
+            q, ind, commit = self.vq(z)
+            return self.dec(q), commit
+
+    def loss_fn(model, batch):
+        out, commit = model(batch)
+        return ((out - batch) ** 2).mean() + commit
+
+    mesh = make_mesh(('data',))
+    model = Model(nnx.Rngs(0))
+    trainer = DataParallelTrainer(model, optax.adam(1e-2), loss_fn, mesh)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 8))
+    losses = [float(trainer.step(x)) for _ in range(20)]
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize('metric', ('euclidean', 'cosine'))
+def test_sharded_nearest_code_matches_unsharded(metric):
+    """Codebook rows sharded over the mesh: the distributed argmin must agree
+    with the replicated argmin exactly."""
+    mesh = make_mesh(('data',))
+    n, c, d = 64, 64, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+    embed = jax.random.normal(jax.random.PRNGKey(1), (c, d))
+    if metric == 'cosine':
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        embed = embed / jnp.linalg.norm(embed, axis=-1, keepdims=True)
+
+    want = nearest_code_xla(x, embed, metric)
+
+    def body(x, embed_shard):
+        return sharded_nearest_code(x, embed_shard, 'code', metric)
+
+    got = jax.jit(jax.shard_map(
+        body, mesh=Mesh(np.array(jax.devices()), ('code',)),
+        in_specs=(P(), P('code')), out_specs=P(),
+        check_vma=False,
+    ))(x, embed)
+
+    assert (want == got).all()

@@ -31,7 +31,7 @@ from ..core.utils import (
 )
 from ..core.sampling import gumbel_sample, masked_sample_vectors
 from ..core import utils as U
-from ..kernels.distance import nearest_code
+from ..kernels.distance import nearest_code, gather_codes
 from ..parallel import collectives
 from .kmeans import kmeans
 from ..core.module import ModeModule
@@ -625,11 +625,14 @@ class Codebook(ModeModule):
                 )[..., 0, :]
         elif self.training and embed_onehot is not None:
             quantize_flat = jnp.einsum(
-                'h n ... c, h c d -> h n ... d', embed_onehot, embed
+                'h n ... c, h c d -> h n ... d', embed_onehot, embed,
+                precision=jax.lax.Precision.HIGHEST,
             )
         else:
             # gather path: differentiable w.r.t. embed (scatter-add VJP)
-            quantize_flat = jax.vmap(lambda e, i: jnp.take(e, i, axis=0))(
+            # one-hot-matmul lookup: bit-exact at HIGHEST precision and far
+            # faster than XLA's gather lowering on TPU (kernels/distance.py)
+            quantize_flat = jax.vmap(gather_codes)(
                 embed, embed_ind_flat.reshape(h, -1)
             ).reshape(*embed_ind_flat.shape, embed.shape[-1])
 

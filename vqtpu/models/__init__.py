@@ -1,0 +1,3 @@
+from .autoencoder import SimpleQuantizeAutoEncoder, ConvEncoder, ConvDecoder
+from .transformer import MiniEncoder
+from .data import image_batches

@@ -1,0 +1,189 @@
+"""Mesh construction and shard_map training utilities (component D1).
+
+The TPU-native replacement for the reference's DDP integration: instead of
+wrapping the model in DistributedDataParallel and letting the library fire
+NCCL all_reduces from inside forward (reference
+vector_quantize_pytorch.py:405-413,603-607), the quantizers take
+`sync_axis='data'` and the training step runs under `shard_map` over a
+`jax.sharding.Mesh`. Inside the mapped region every codebook statistic is a
+`psum` over that axis (riding ICI within a slice, DCN across hosts), and
+parameter gradients are `pmean`-ed — so the model state stays bit-identical
+across replicas by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_mesh(
+    axis_names: tuple[str, ...] = ('data',),
+    shape: tuple[int, ...] | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a Mesh over the available devices. With the default single
+    'data' axis, all devices form one data-parallel ring."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        assert len(axis_names) == 1
+        shape = (len(devices),)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+class _TrainState(nnx.Module):
+    def __init__(self, model: nnx.Module, optimizer: nnx.Optimizer):
+        self.model = model
+        self.optimizer = optimizer
+
+
+class DataParallelTrainer:
+    """shard_map-based data-parallel trainer for models containing vqtpu
+    quantizers.
+
+    The model's quantizers must be constructed with `sync_axis=<axis>` so
+    their EMA statistics psum over the mesh; gradients are pmean-ed here.
+    Model/optimizer state is replicated (P()); the batch is sharded along
+    its leading dim over the data axis.
+
+    Usage:
+        mesh = make_mesh(('data',))
+        trainer = DataParallelTrainer(model, optax.adamw(1e-3), loss_fn, mesh)
+        loss = trainer.step(global_batch)
+    """
+
+    def __init__(
+        self,
+        model: nnx.Module,
+        tx,
+        loss_fn: Callable,
+        mesh: Mesh,
+        axis: str = 'data',
+        batch_spec: P | None = None,
+    ):
+        self.model = model
+        self.loss_fn = loss_fn
+        self.mesh = mesh
+        self.axis = axis
+        self.batch_spec = batch_spec if batch_spec is not None else P(axis)
+
+        optimizer = nnx.Optimizer(model, tx, wrt=nnx.Param)
+        self._ts = _TrainState(model, optimizer)
+        self._graphdef, _ = nnx.split(self._ts)
+        self._jitted = None
+
+    def _build(self):
+        graphdef = self._graphdef
+        loss_fn = self.loss_fn
+        axis = self.axis
+
+        def body(state, batch):
+            ts = nnx.merge(graphdef, state)
+
+            def compute_loss(model):
+                return loss_fn(model, batch)
+
+            loss, grads = nnx.value_and_grad(compute_loss)(ts.model)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            ts.optimizer.update(ts.model, grads)
+            _, new_state = nnx.split(ts)
+            return new_state, loss
+
+        mapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(), self.batch_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def step(self, batch) -> jax.Array:
+        """One optimizer step on a *global* batch (sharded over the mesh);
+        updates the model and optimizer in place, returns the mean loss."""
+        if self._jitted is None:
+            self._jitted = self._build()
+        _, state = nnx.split(self._ts)
+        new_state, loss = self._jitted(state, batch)
+        nnx.update(self._ts, new_state)
+        return loss
+
+
+def eval_step_fn(model: nnx.Module, mesh: Mesh, axis: str = 'data',
+                 batch_spec: P | None = None):
+    """Build a jitted, shard_map'd eval forward for a model (replicated
+    params, batch sharded over `axis`). Returns f(batch) -> model outputs."""
+    graphdef, state = nnx.split(model)
+    batch_spec = batch_spec if batch_spec is not None else P(axis)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        return m(batch)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=batch_spec,
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def run(batch):
+        _, st = nnx.split(model)
+        return jitted(st, batch)
+
+    return run
+
+
+# -- codebook sharding (tensor-parallel codebooks over ICI) ----------------------
+
+def sharded_nearest_code(
+    x: jax.Array,
+    embed_shard: jax.Array,
+    axis: str,
+    metric: str = 'euclidean',
+) -> jax.Array:
+    """Nearest-code selection against a codebook sharded over mesh axis
+    `axis` (rows split across devices) — the north-star extension beyond the
+    reference's replicate-everything design (SURVEY.md §2, TP row).
+
+    Each device computes a local (best score, local argbest) over its rows
+    with the fused Pallas kernel, reconstructs the winning score with one
+    gather, then the global winner is reduced over the axis. Tie-breaking:
+    lowest global index wins, matching the unsharded argmin.
+
+    x: (n, d) replicated; embed_shard: (c_local, d) local rows.
+    Returns (n,) global int32 indices.
+    """
+    from ..kernels.distance import nearest_code
+
+    c_local = embed_shard.shape[0]
+    rank = jax.lax.axis_index(axis)
+
+    local_idx = nearest_code(x, embed_shard, metric)             # (n,)
+    chosen = jnp.take(embed_shard, local_idx, axis=0)            # (n, d)
+
+    score = jnp.einsum(
+        'nd,nd->n', x.astype(jnp.float32), chosen.astype(jnp.float32)
+    )
+    if metric == 'euclidean':
+        score = score - 0.5 * (chosen.astype(jnp.float32) ** 2).sum(-1)
+
+    global_idx = local_idx + rank * c_local
+
+    # reduce (score, idx) over the axis: max score wins; jnp.argmax picks the
+    # first (lowest-rank) shard on ties, and each shard's kernel already
+    # picked its lowest local index — so ties resolve to the lowest global
+    # index, matching the unsharded argmin
+    all_scores = jax.lax.all_gather(score, axis)                 # (world, n)
+    all_idx = jax.lax.all_gather(global_idx, axis)               # (world, n)
+    best_shard = jnp.argmax(all_scores, axis=0)
+    return jnp.take_along_axis(all_idx, best_shard[None, :], axis=0)[0]

@@ -19,7 +19,7 @@ from flax import nnx
 from ..core.module import ModeModule
 from ..core.ste import rotate_to
 from ..core.utils import default, identity
-from ..kernels.distance import nearest_code
+from ..kernels.distance import nearest_code, gather_codes
 
 sg = jax.lax.stop_gradient
 
@@ -76,7 +76,7 @@ class SimVQ(ModeModule):
         return self.frozen_codebook[...].shape[-1]
 
     def indices_to_codes(self, indices: jax.Array) -> jax.Array:
-        frozen_codes = jnp.take(self.frozen_codebook[...], indices, axis=0)
+        frozen_codes = gather_codes(self.frozen_codebook[...], indices)
         quantized = self.code_transform(frozen_codes)
         if self.channel_first:
             quantized = jnp.moveaxis(quantized, -1, 1)
@@ -101,7 +101,7 @@ class SimVQ(ModeModule):
             force_xla=not self.use_pallas,
         )
 
-        quantized = jnp.take(implicit_codebook, indices, axis=0)
+        quantized = gather_codes(implicit_codebook, indices)
         x_tokens = x_flat[0]
 
         # dual commit loss: codebook -> input (strong) and input -> codebook

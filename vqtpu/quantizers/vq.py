@@ -42,6 +42,7 @@ from ..core.utils import (
 from ..core.ste import straight_through, rotate_to, directional_reparam
 from ..core.sampling import gumbel_sample
 from ..codebook.codebook import Codebook
+from ..kernels.distance import gather_codes
 from ..parallel import collectives
 
 sg = jax.lax.stop_gradient
@@ -346,10 +347,10 @@ class VectorQuantize(ModeModule):
             # shared codebook across heads: indices (b, ..., h) gather to
             # (b, ..., h, d) and fold heads into the feature dim (the
             # reference leaves this case unhandled)
-            codes = jnp.take(codebook, indices, axis=0)
+            codes = gather_codes(codebook, indices)
             codes = codes.reshape(*codes.shape[:-2], -1)
         elif not is_multiheaded:
-            codes = jnp.take(codebook, indices, axis=0)
+            codes = gather_codes(codebook, indices)
         else:
             # indices: (b, ..., h)
             lead_shape = indices.shape[:-1]
@@ -357,7 +358,7 @@ class VectorQuantize(ModeModule):
             ind = indices.reshape(indices.shape[0], -1, h)      # (b, n, h)
             ind = jnp.transpose(ind, (0, 2, 1))                 # (b, h, n)
             codes = jax.vmap(
-                lambda cb, i: jnp.take(cb, i, axis=0), in_axes=(0, 1), out_axes=1
+                gather_codes, in_axes=(0, 1), out_axes=1
             )(codebook, ind)                                    # (b, h, n, d)
             codes = jnp.transpose(codes, (0, 2, 1, 3))
             codes = codes.reshape(*lead_shape, -1)
