@@ -144,3 +144,33 @@ def test_nearest_code_batched_heads():
     want = jax.vmap(nearest_code_xla)(x, e)
     got = nearest_code(x, e, interpret=True)
     assert (want == got).all()
+
+
+def test_eval_mode_propagates_through_plain_nnx_parent():
+    # Regression: quantizers nested inside a user's plain nnx.Module must
+    # leave training mode when the *parent*'s .eval() is called (nnx
+    # propagates `deterministic=True`, which backs our `training` flag).
+    # Otherwise EMA updates keep firing during eval and decode round-trips
+    # desync from forward outputs.
+    from flax import nnx
+    from vqtpu import VectorQuantize
+
+    class Parent(nnx.Module):
+        def __init__(self, rngs):
+            self.vq = VectorQuantize(dim=8, codebook_size=16, decay=0.8,
+                                     rngs=rngs)
+
+    p = Parent(nnx.Rngs(0))
+    z = jax.random.normal(jax.random.PRNGKey(0), (32, 8))
+    p.vq(z)  # train-mode step (kmeans-free init + EMA)
+    p.eval()
+    assert not p.vq.training and not p.vq._codebook.training
+
+    before = np.asarray(p.vq._codebook.embed.value).copy()
+    q, ind, _ = p.vq(z + 0.5)
+    after = np.asarray(p.vq._codebook.embed.value)
+    assert (before == after).all(), 'EMA fired during eval'
+    assert jnp.allclose(q, p.vq.get_output_from_indices(ind), atol=1e-6)
+
+    p.train()
+    assert p.vq.training and p.vq._codebook.training
