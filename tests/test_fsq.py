@@ -98,3 +98,17 @@ def test_fsq_grad_flow():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 32))
     g = nnx.grad(loss_fn, argnums=1)(quantizer, x)
     assert jnp.isfinite(g).all() and (jnp.abs(g) > 0).any()
+
+
+def test_fsq_allowed_dtypes_keeps_whitelisted_dtype():
+    # reference finite_scalar_quantization.py:72,276-301 — the f32-forcing
+    # region is skipped for whitelisted input dtypes
+    fsq = FSQ(levels=[8, 5, 5], allowed_dtypes=('float32', 'bfloat16'),
+              rngs=nnx.Rngs(0))
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 3)).astype(jnp.bfloat16)
+    q, ind = fsq(z)
+    assert q.dtype == jnp.bfloat16
+    # default: non-whitelisted bf16 goes through f32 and is cast back
+    fsq_d = FSQ(levels=[8, 5, 5], rngs=nnx.Rngs(0))
+    qd, _ = fsq_d(z)
+    assert qd.dtype == jnp.bfloat16

@@ -118,3 +118,31 @@ def test_lfq_spherical_bsq_normalized():
     quantized, *_ = quantizer(x)
     norms = jnp.linalg.norm(quantized, axis=-1)
     assert jnp.allclose(norms, quantizer.codebook_scale, atol=1e-4)
+
+
+def test_lfq_straight_through_activation():
+    # reference lookup_free_quantization.py:105,339-343 — custom activation
+    # inside the straight-through estimator (training only)
+    lfq = LFQ(codebook_size=16, dim=4, straight_through_activation=jnp.tanh,
+              rngs=nnx.Rngs(0))
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 4))
+
+    def loss(z):
+        q, ind, e = lfq(z)
+        return (q ** 2).sum()
+
+    g = jax.grad(loss)(z)
+    assert jnp.isfinite(g).all() and (jnp.abs(g) > 0).any()
+    # grads must be shaped by tanh': compare against identity-activation grads
+    lfq_id = LFQ(codebook_size=16, dim=4, rngs=nnx.Rngs(0))
+
+    def loss_id(z):
+        q, ind, e = lfq_id(z)
+        return (q ** 2).sum()
+
+    g_id = jax.grad(loss_id)(z)
+    assert not jnp.allclose(g, g_id)
+    # eval path unaffected
+    lfq.eval()
+    q, ind, _ = lfq(z)
+    assert (lfq.indices_to_codes(ind) == q).all()

@@ -270,3 +270,15 @@ def test_vq_update_indices_posthoc_ema():
     before = np.array(vq.codebook)
     vq.update_indices(x, indices)
     assert not np.allclose(before, np.array(vq.codebook))
+
+
+def test_sync_codebook_alias_maps_to_sync_axis():
+    # reference vector_quantize_pytorch.py:835,925-926
+    vq = VectorQuantize(dim=8, codebook_size=16, sync_codebook='repl',
+                        rngs=nnx.Rngs(0))
+    assert vq._codebook.sync_axis == 'repl'
+    vq2 = VectorQuantize(dim=8, codebook_size=16, sync_codebook=True,
+                         rngs=nnx.Rngs(0))
+    assert vq2._codebook.sync_axis == 'data'
+    vq3 = VectorQuantize(dim=8, codebook_size=16, rngs=nnx.Rngs(0))
+    assert vq3._codebook.sync_axis is None

@@ -19,6 +19,7 @@ from itertools import accumulate
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 from ..core.module import ModeModule
@@ -39,6 +40,7 @@ class FSQ(ModeModule):
         projection_has_bias: bool = True,
         return_indices: bool = True,
         force_quantization_f32: bool = True,
+        allowed_dtypes: tuple = ('float32', 'float64'),
         preserve_symmetry: bool = False,
         noise_dropout: float = 0.0,
         bound_hard_clamp: bool = False,
@@ -95,6 +97,8 @@ class FSQ(ModeModule):
         self.codebook_size = math.prod(self.levels)
 
         self.force_quantization_f32 = force_quantization_f32
+        # normalize to dtypes; accepts strings or dtype objects
+        self.allowed_dtypes = tuple(np.dtype(d) for d in allowed_dtypes)
 
         self.orthogonal_rotation = orthogonal_rotation
         if orthogonal_rotation:
@@ -247,8 +251,10 @@ class FSQ(ModeModule):
         if self.orthogonal_rotation:
             z = z @ self.orthogonal_rot[...]
 
+        # force the quantization region to f32 unless the incoming dtype is
+        # whitelisted (reference finite_scalar_quantization.py:276-301)
         orig_dtype = z.dtype
-        if self.force_quantization_f32:
+        if self.force_quantization_f32 and orig_dtype not in self.allowed_dtypes:
             z = z.astype(jnp.float32)
 
         codes = self.quantize(z)

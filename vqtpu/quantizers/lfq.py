@@ -79,6 +79,7 @@ class LFQ(ModeModule):
         cosine_sim_project_in: bool = False,
         cosine_sim_project_in_scale: float | None = None,
         channel_first: bool | None = None,
+        straight_through_activation=None,
         experimental_softplus_entropy_loss: bool = False,
         entropy_loss_offset: float = 5.0,
         spherical: bool = False,
@@ -153,6 +154,9 @@ class LFQ(ModeModule):
         assert soft_clamp_input_value is None or soft_clamp_input_value >= codebook_scale
 
         self.entropy_loss_offset = entropy_loss_offset
+        self.straight_through_activation = default(
+            straight_through_activation, lambda t: t
+        )
         self.experimental_softplus_entropy_loss = experimental_softplus_entropy_loss
 
         self.force_quantization_f32 = force_quantization_f32
@@ -322,7 +326,10 @@ class LFQ(ModeModule):
 
         quantized = self.maybe_l2norm(quantized)
 
+        # straight-through gradients, optionally through a custom activation
+        # (reference lookup_free_quantization.py:105,339-343)
         if self.training:
+            x = self.straight_through_activation(x)
             x = x + sg(quantized - x)
         else:
             x = quantized

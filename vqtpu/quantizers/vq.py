@@ -101,6 +101,7 @@ class VectorQuantize(ModeModule):
         directional_reparam: bool = False,
         directional_reparam_variance: float = 5e-3,
         sync_axis: str | None = None,
+        sync_codebook: bool | str | None = None,
         sync_affine_param: bool = False,
         ema_update: bool | None = None,
         vq_bridge: nnx.Module | Callable | None = None,
@@ -119,6 +120,15 @@ class VectorQuantize(ModeModule):
     ):
         if rngs is None:
             rngs = nnx.Rngs(0)
+
+        # `sync_codebook` (reference vector_quantize_pytorch.py:835,925-926)
+        # maps onto the mesh-axis model: a string names the data axis to psum
+        # over; True selects the conventional 'data' axis; False/None defers
+        # to `sync_axis` (None = unsynced, replicated-or-single-device).
+        if isinstance(sync_codebook, str):
+            sync_axis = sync_codebook
+        elif sync_codebook:
+            sync_axis = default(sync_axis, 'data')
 
         # interdependent defaults (reference vector_quantize_pytorch.py:852-856)
         ema_update = default(ema_update, not directional_reparam and vq_bridge is None)
