@@ -1,0 +1,245 @@
+"""Golden numerical-parity tests against the torch reference.
+
+The reference implementation (/root/reference, read-only) runs on CPU torch
+in this image; einx is stubbed (tests/einx_stub.py). Each test injects
+IDENTICAL weights into both frameworks, feeds identical inputs, and compares
+outputs / post-step EMA state. This is the strongest form of the
+"MSE + perplexity within 1%" parity bar (BASELINE.md): bit-level agreement
+of the quantization math itself.
+
+Covers: VQ eval + train-EMA step, cosine-sim, multi-head, masking,
+rotation-trick gradients, FSQ codes/indices, LFQ quantize/entropy,
+ResidualVQ forward + decode.
+"""
+
+import importlib
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+torch = pytest.importorskip('torch')
+
+sys.modules.setdefault('einx', importlib.import_module('tests.einx_stub'))
+if '/root/reference' not in sys.path:
+    sys.path.insert(0, '/root/reference')
+
+ref = pytest.importorskip('vector_quantize_pytorch')
+
+import vqtpu
+
+
+def t2n(t):
+    # always copy: on CPU torch .numpy() is a VIEW of the tensor's storage
+    # and jnp.asarray may be zero-copy, so the reference's in-place EMA
+    # updates would silently mutate our injected state
+    return np.array(t.detach().cpu().numpy())
+
+
+def make_pair(dim=16, codebook_size=32, seed=0, **kwargs):
+    """Construct reference + vqtpu VectorQuantize with identical codebooks."""
+    torch.manual_seed(seed)
+    rkw = dict(kwargs)
+    okw = dict(kwargs)
+    rvq = ref.VectorQuantize(dim=dim, codebook_size=codebook_size, **rkw)
+    ovq = vqtpu.VectorQuantize(
+        dim=dim, codebook_size=codebook_size, rngs=nnx.Rngs(seed), **okw
+    )
+    # copy reference state -> ours
+    embed = t2n(rvq._codebook.embed)
+    ovq._codebook.embed.value = jnp.asarray(embed)
+    ovq._codebook.embed_avg.value = jnp.asarray(t2n(rvq._codebook.embed_avg))
+    ovq._codebook.cluster_size.value = jnp.asarray(t2n(rvq._codebook.cluster_size))
+    return rvq, ovq
+
+
+def assert_close(a, b, atol=1e-5, rtol=1e-5, what=''):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    np.testing.assert_allclose(a, b, atol=atol, rtol=rtol, err_msg=what)
+
+
+# ---------------------------------------------------------------------------
+# VectorQuantize
+# ---------------------------------------------------------------------------
+
+def test_vq_eval_forward_parity():
+    rvq, ovq = make_pair()
+    rvq.eval()
+    ovq.eval()
+    x = np.random.default_rng(0).standard_normal((2, 24, 16)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x))
+    oq, oi, ol = ovq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, what='eval quantized')
+
+
+def test_vq_train_step_ema_state_parity():
+    rvq, ovq = make_pair(decay=0.8)
+    x = np.random.default_rng(1).standard_normal((2, 24, 16)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x))
+    oq, oi, ol = ovq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, what='train quantized')
+    assert_close(float(rl), float(ol), atol=1e-6, what='commit loss')
+    # post-step EMA state must match: decay, laplace smoothing, normalization
+    assert_close(
+        t2n(rvq._codebook.cluster_size),
+        ovq._codebook.cluster_size.value, what='cluster_size',
+    )
+    assert_close(
+        t2n(rvq._codebook.embed_avg),
+        ovq._codebook.embed_avg.value, what='embed_avg',
+    )
+    assert_close(
+        t2n(rvq._codebook.embed),
+        ovq._codebook.embed.value, what='embed post-EMA',
+    )
+
+
+def test_vq_multi_step_training_trajectory_parity():
+    rvq, ovq = make_pair(decay=0.9)
+    rng = np.random.default_rng(2)
+    for step in range(5):
+        x = rng.standard_normal((4, 16, 16)).astype(np.float32)
+        rq, ri, rl = rvq(torch.from_numpy(x))
+        oq, oi, ol = ovq(jnp.asarray(x))
+    assert_close(
+        t2n(rvq._codebook.embed),
+        ovq._codebook.embed.value, atol=1e-4, what='embed after 5 steps',
+    )
+
+
+@pytest.mark.parametrize('heads,separate', [(4, False), (4, True)])
+def test_vq_multihead_parity(heads, separate):
+    rvq, ovq = make_pair(
+        dim=32, codebook_size=24, heads=heads,
+        separate_codebook_per_head=separate, codebook_dim=8,
+    )
+    # heads*codebook_dim == dim here, so neither side has a projection
+    assert not ovq.has_projections
+    rvq.eval()
+    ovq.eval()
+    x = np.random.default_rng(3).standard_normal((2, 10, 32)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x))
+    oq, oi, ol = ovq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, what='multihead quantized')
+
+
+def test_vq_cosine_sim_parity():
+    rvq, ovq = make_pair(use_cosine_sim=True)
+    rvq.eval()
+    ovq.eval()
+    x = np.random.default_rng(4).standard_normal((2, 20, 16)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x))
+    oq, oi, ol = ovq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, what='cosine quantized')
+
+
+def test_vq_masked_forward_parity():
+    rvq, ovq = make_pair()
+    rvq.eval()
+    ovq.eval()
+    x = np.random.default_rng(5).standard_normal((2, 12, 16)).astype(np.float32)
+    mask = np.zeros((2, 12), bool)
+    mask[0, :7] = True
+    mask[1, :] = True
+    rq, ri, rl = rvq(torch.from_numpy(x), mask=torch.from_numpy(mask))
+    oq, oi, ol = ovq(jnp.asarray(x), mask=jnp.asarray(mask))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, what='masked quantized')
+
+
+@pytest.mark.parametrize('estimator', ['rotation', 'ste'])
+def test_vq_gradient_estimator_parity(estimator):
+    kwargs = (
+        dict(rotation_trick=True)
+        if estimator == 'rotation'
+        else dict(rotation_trick=False, straight_through=False)
+    )
+    rvq, ovq = make_pair(**kwargs)
+    x = np.random.default_rng(6).standard_normal((2, 8, 16)).astype(np.float32)
+
+    # freeze_codebook=True on both sides: train-mode gradient estimators stay
+    # active but no EMA state mutation (which jax.grad tracing forbids)
+    xt = torch.from_numpy(x).requires_grad_(True)
+    rq, ri, rl = rvq(xt, freeze_codebook=True)
+    (rq.square().sum() + rl).backward()
+    ref_grad = t2n(xt.grad)
+
+    def loss_fn(xj):
+        oq, oi, ol = ovq(xj, freeze_codebook=True)
+        return (oq ** 2).sum() + ol
+
+    our_grad = jax.grad(loss_fn)(jnp.asarray(x))
+    assert_close(ref_grad, our_grad, atol=1e-4, what=f'{estimator} grad')
+
+
+# ---------------------------------------------------------------------------
+# FSQ / LFQ (stateless: no weight copying needed)
+# ---------------------------------------------------------------------------
+
+def test_fsq_parity():
+    levels = [8, 5, 5, 3]
+    rfsq = ref.FSQ(levels=levels)
+    ofsq = vqtpu.FSQ(levels=levels, rngs=nnx.Rngs(0))
+    rfsq.eval()
+    ofsq.eval()
+    x = np.random.default_rng(8).standard_normal((2, 10, 4)).astype(np.float32)
+    rq, ri = rfsq(torch.from_numpy(x))
+    oq, oi = ofsq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-6, what='fsq codes')
+    # index codec parity
+    assert_close(
+        t2n(rfsq.indices_to_codes(ri)),
+        ofsq.indices_to_codes(oi), atol=1e-6, what='fsq decode',
+    )
+
+
+def test_lfq_parity():
+    rlfq = ref.LFQ(codebook_size=2 ** 8, dim=8, entropy_loss_weight=0.1,
+                   diversity_gamma=1.0)
+    olfq = vqtpu.LFQ(codebook_size=2 ** 8, dim=8, entropy_loss_weight=0.1,
+                     diversity_gamma=1.0, rngs=nnx.Rngs(0))
+    x = np.random.default_rng(9).standard_normal((2, 10, 8)).astype(np.float32)
+    rq, ri, rent = rlfq(torch.from_numpy(x))
+    oq, oi, oent = olfq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-6, what='lfq quantized')
+    assert_close(float(rent), float(oent), atol=1e-5, what='lfq entropy loss')
+
+
+# ---------------------------------------------------------------------------
+# ResidualVQ
+# ---------------------------------------------------------------------------
+
+def test_residual_vq_parity():
+    torch.manual_seed(10)
+    rrvq = ref.ResidualVQ(dim=16, num_quantizers=4, codebook_size=32)
+    orvq = vqtpu.ResidualVQ(dim=16, num_quantizers=4, codebook_size=32,
+                            rngs=nnx.Rngs(0))
+    for i, layer in enumerate(rrvq.layers):
+        ovq = orvq.layers[i]
+        ovq._codebook.embed.value = jnp.asarray(t2n(layer._codebook.embed))
+        ovq._codebook.embed_avg.value = jnp.asarray(
+            t2n(layer._codebook.embed_avg))
+        ovq._codebook.cluster_size.value = jnp.asarray(
+            t2n(layer._codebook.cluster_size))
+    rrvq.eval()
+    orvq.eval()
+    x = np.random.default_rng(11).standard_normal((2, 12, 16)).astype(np.float32)
+    rq, ri, rl = rrvq(torch.from_numpy(x))
+    oq, oi, ol = orvq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='rvq quantized')
+    # decode parity
+    rdec = rrvq.get_output_from_indices(ri)
+    odec = orvq.get_output_from_indices(oi)
+    assert_close(t2n(rdec), odec, atol=1e-5, what='rvq decode')
