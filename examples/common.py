@@ -9,10 +9,10 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import nnx
 
+from vqtpu.core import metrics
 from vqtpu.models import image_batches
 
 
@@ -52,10 +52,14 @@ def train_loop(
         rec, aux, indices = step(model, opt, x)
 
         if it % log_every == 0 or it == train_iter - 1:
-            active = np.unique(np.asarray(indices)).size / codebook_size * 100
+            active = float(
+                metrics.codebook_utilization(indices, codebook_size)) * 100
+            pplx = float(
+                metrics.codebook_perplexity(indices, codebook_size))
             print(
                 f'iter {it:5d} | rec loss: {float(rec):.3f} | '
                 f'aux loss: {float(aux):.3f} | active %: {active:.1f} | '
+                f'perplexity: {pplx:.1f} | '
                 f'{time.time() - t0:.1f}s'
             )
     return model

@@ -174,3 +174,37 @@ def test_eval_mode_propagates_through_plain_nnx_parent():
 
     p.train()
     assert p.vq.training and p.vq._codebook.training
+
+
+def test_codebook_metrics():
+    from vqtpu.core import metrics
+
+    # uniform usage over 4 codes -> perplexity 4, utilization 1
+    ind = jnp.array([0, 1, 2, 3, 0, 1, 2, 3])
+    assert np.isclose(float(metrics.codebook_perplexity(ind, 4)), 4.0)
+    assert float(metrics.codebook_utilization(ind, 4)) == 1.0
+
+    # collapsed -> perplexity 1
+    ind = jnp.zeros(16, jnp.int32)
+    assert np.isclose(float(metrics.codebook_perplexity(ind, 8)), 1.0)
+    assert np.isclose(float(metrics.codebook_utilization(ind, 8)), 1 / 8)
+
+    # -1 padding ignored
+    ind = jnp.array([0, 1, -1, -1])
+    h = metrics.index_histogram(ind, 4)
+    assert h.tolist() == [1.0, 1.0, 0.0, 0.0]
+
+    # mask-aware
+    ind = jnp.array([0, 1, 2, 3])
+    mask = jnp.array([True, True, False, False])
+    h = metrics.index_histogram(ind, 4, mask)
+    assert h.tolist() == [1.0, 1.0, 0.0, 0.0]
+
+    # ema variants accept (h, c) and reduce last axis
+    cs = jnp.ones((2, 8))
+    assert np.allclose(np.asarray(metrics.ema_perplexity(cs)), 8.0)
+    assert float(metrics.ema_utilization(cs)) == 1.0
+
+    # jit-compatible
+    f = jax.jit(lambda i: metrics.codebook_perplexity(i, 4))
+    assert np.isfinite(float(f(jnp.array([0, 1, 2, 3]))))

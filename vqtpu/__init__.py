@@ -7,7 +7,7 @@ argmin path, and psum-based collectives over an optional mesh axis for
 data-parallel statistics.
 """
 
-from . import core, kernels, codebook, parallel, quantizers, composite
+from . import core, kernels, codebook, parallel, quantizers, composite, utils
 
 from .quantizers.vq import VectorQuantize, LossBreakdown
 from .quantizers.fsq import FSQ
@@ -24,6 +24,13 @@ from .composite.residual_lfq import ResidualLFQ, GroupedResidualLFQ
 from .composite.residual_sim_vq import ResidualSimVQ
 from .composite.hierarchical_vq import HierarchicalVQ
 from .composite.sequential import Sequential
+
+from .core.metrics import (
+    codebook_perplexity,
+    codebook_utilization,
+    ema_perplexity,
+    ema_utilization,
+)
 
 __all__ = [
     'VectorQuantize',
@@ -44,4 +51,8 @@ __all__ = [
     'BinaryMapper',
     'HierarchicalVQ',
     'Sequential',
+    'codebook_perplexity',
+    'codebook_utilization',
+    'ema_perplexity',
+    'ema_utilization',
 ]

@@ -1,0 +1,7 @@
+from .checkpoint import (
+    state_dict,
+    load_state_dict,
+    save_checkpoint,
+    restore_checkpoint,
+    DERIVED_STATE_DOC,
+)
