@@ -55,4 +55,7 @@ def get_at(pattern, source, idx):
         q = source.shape[0]
         idxq = idx.permute(2, 0, 1).long()          # (q, b, n)
         return source[torch.arange(q)[:, None, None], idxq]
+    if p.startswith('[c]d,b'):
+        # sim_vq.py:92 '[c] d, b ... -> b ... d': plain row gather
+        return source[idx.long()]
     raise NotImplementedError(pattern)

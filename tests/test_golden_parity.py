@@ -243,3 +243,129 @@ def test_residual_vq_parity():
     rdec = rrvq.get_output_from_indices(ri)
     odec = orvq.get_output_from_indices(oi)
     assert_close(t2n(rdec), odec, atol=1e-5, what='rvq decode')
+
+
+# ---------------------------------------------------------------------------
+# SimVQ / LatentQuantize / RandomProjectionQuantizer / FSP / BinaryMapper
+# ---------------------------------------------------------------------------
+
+def test_simvq_parity():
+    torch.manual_seed(20)
+    rsim = ref.SimVQ(dim=16, codebook_size=32, rotation_trick=True)
+    osim = vqtpu.SimVQ(dim=16, codebook_size=32, rotation_trick=True,
+                       rngs=nnx.Rngs(0))
+    osim.frozen_codebook.value = jnp.asarray(t2n(rsim.frozen_codebook))
+    # reference code_transform: Linear(dim, dim, bias=False)
+    osim.code_transform.kernel.value = jnp.asarray(
+        t2n(rsim.code_transform.weight).T)
+    rsim.eval()
+    osim.eval()
+    x = np.random.default_rng(21).standard_normal((2, 12, 16)).astype(np.float32)
+    rq, ri, rl = rsim(torch.from_numpy(x))
+    oq, oi, ol = osim(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='simvq quantized')
+    # training losses parity
+    rsim.train()
+    osim.train()
+    xt = torch.from_numpy(x).requires_grad_(True)
+    rq, ri, rl = rsim(xt)
+    oq, oi, ol = osim(jnp.asarray(x))
+    assert_close(float(rl), float(ol), atol=1e-5, what='simvq commit loss')
+
+
+def test_latent_quantize_parity():
+    torch.manual_seed(22)
+    levels = [5, 5, 8]
+    rlq = ref.LatentQuantize(levels=levels, dim=9, commitment_loss_weight=0.1,
+                             quantization_loss_weight=0.1)
+    olq = vqtpu.LatentQuantize(levels=levels, dim=9,
+                               commitment_loss_weight=0.1,
+                               quantization_loss_weight=0.1,
+                               rngs=nnx.Rngs(0))
+    # copy learnable per-dim values and projections
+    for i, p in enumerate(rlq.values_per_latent):
+        olq.values_per_latent[i].value = jnp.asarray(t2n(p))
+    if hasattr(rlq.project_in, 'weight'):
+        olq.project_in.kernel.value = jnp.asarray(t2n(rlq.project_in.weight).T)
+        olq.project_in.bias.value = jnp.asarray(t2n(rlq.project_in.bias))
+        olq.project_out.kernel.value = jnp.asarray(
+            t2n(rlq.project_out.weight).T)
+        olq.project_out.bias.value = jnp.asarray(t2n(rlq.project_out.bias))
+    rlq.eval()
+    olq.eval()
+    x = np.random.default_rng(23).standard_normal((2, 9, 10)).astype(np.float32)
+    rq, ri, rl = rlq(torch.from_numpy(x))
+    oq, oi, ol = olq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='latent quantized')
+
+
+def test_rpq_parity():
+    torch.manual_seed(24)
+    rr = ref.RandomProjectionQuantizer(dim=16, codebook_size=32,
+                                       codebook_dim=8, num_codebooks=2)
+    oo = vqtpu.RandomProjectionQuantizer(dim=16, codebook_size=32,
+                                         codebook_dim=8, num_codebooks=2,
+                                         rngs=nnx.Rngs(0))
+    oo.rand_projs.value = jnp.asarray(t2n(rr.rand_projs))
+    oo.vq._codebook.embed.value = jnp.asarray(t2n(rr.vq._codebook.embed))
+    # the inner VQ projects dim (16) -> heads*codebook_dim (32): copy the
+    # projection weights too
+    rpi = rr.vq.project_in
+    rlin = rpi if hasattr(rpi, 'weight') else rpi[0]
+    oo.vq.project_in_linear.kernel.value = jnp.asarray(t2n(rlin.weight).T)
+    oo.vq.project_in_linear.bias.value = jnp.asarray(t2n(rlin.bias))
+    rpo = rr.vq.project_out
+    rlout = rpo if hasattr(rpo, 'weight') else rpo[0]
+    oo.vq.project_out_linear.kernel.value = jnp.asarray(t2n(rlout.weight).T)
+    oo.vq.project_out_linear.bias.value = jnp.asarray(t2n(rlout.bias))
+    x = np.random.default_rng(25).standard_normal((2, 10, 16)).astype(np.float32)
+    ri = rr(torch.from_numpy(x))
+    oi = oo(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+
+
+def test_fsp_parity_deterministic():
+    # quantize_rate=1 -> deterministic midpoint quantization (reference
+    # tests/test_fsp.py:70-77 relies on this)
+    rfsp = ref.FSP(levels=[8, 6, 5], quantize_rate=1.0)
+    ofsp = vqtpu.FSP(levels=[8, 6, 5], quantize_rate=1.0, rngs=nnx.Rngs(0))
+    rfsp.eval()
+    ofsp.eval()
+    x = np.random.default_rng(26).standard_normal((2, 10, 3)).astype(np.float32)
+    rout = rfsp(torch.from_numpy(x))
+    oout = ofsp(jnp.asarray(x))
+    rq, ri = rout[0], rout[1]
+    oq, oi = oout[0], oout[1]
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='fsp quantized')
+
+
+def test_residual_fsq_parity():
+    rr = ref.ResidualFSQ(dim=4, levels=[8, 5, 5, 3], num_quantizers=3)
+    oo = vqtpu.ResidualFSQ(dim=4, levels=[8, 5, 5, 3], num_quantizers=3,
+                           rngs=nnx.Rngs(0))
+    rr.eval()
+    oo.eval()
+    x = np.random.default_rng(27).standard_normal((2, 10, 4)).astype(np.float32)
+    rq, ri = rr(torch.from_numpy(x))
+    oq, oi = oo(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='residual fsq quantized')
+    rdec = rr.get_output_from_indices(ri)
+    odec = oo.get_output_from_indices(oi)
+    assert_close(t2n(rdec), odec, atol=1e-5, what='residual fsq decode')
+
+
+def test_residual_lfq_parity():
+    rr = ref.ResidualLFQ(dim=8, codebook_size=2 ** 8, num_quantizers=3)
+    oo = vqtpu.ResidualLFQ(dim=8, codebook_size=2 ** 8, num_quantizers=3,
+                           rngs=nnx.Rngs(0))
+    rr.eval()
+    oo.eval()
+    x = np.random.default_rng(28).standard_normal((2, 10, 8)).astype(np.float32)
+    rq, ri, rl = rr(torch.from_numpy(x))
+    oq, oi, ol = oo(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='residual lfq quantized')
