@@ -180,6 +180,7 @@ def main():
     ap.add_argument('--lr', type=float, default=3e-4)
     ap.add_argument('--alpha', type=float, default=10.0)
     ap.add_argument('--seed', type=int, default=1234)
+    ap.add_argument('--out', type=str, default='/root/repo/PARITY.json')
     args = ap.parse_args()
 
     ref_model = build_ref_model(args.dim, args.codes, args.seed)
@@ -223,7 +224,7 @@ def main():
         },
     }
     print(json.dumps(result, indent=2))
-    with open('/root/repo/PARITY.json', 'w') as f:
+    with open(args.out, 'w') as f:
         json.dump(result, f, indent=2)
     ok = (result['rel_delta']['rec_loss'] <= 0.01
           and result['rel_delta']['perplexity'] <= 0.01)

@@ -1,6 +1,11 @@
 """VQ autoencoder example (TPU-native counterpart of reference
 examples/autoencoder.py). Run: python examples/autoencoder.py [--train_iter N]"""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import jax.numpy as jnp
 from flax import nnx

@@ -1,6 +1,11 @@
 """FSP autoencoder example (reference examples/autoencoder_fsp.py; levels
 [8, 6, 5], tanh activation, quantize_rate 0.5, vector_norm var_tanh)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import math
 import jax.numpy as jnp

@@ -1,6 +1,11 @@
 """FSQ autoencoder example (reference examples/autoencoder_fsq.py; default
 levels [8, 6, 5])."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import jax.numpy as jnp
 from flax import nnx

@@ -2,6 +2,11 @@
 codebook is realized through a small transformer bridge (vq_bridge) and
 trained with an in-place SGD codebook optimizer."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import jax.numpy as jnp
 import optax

@@ -1,6 +1,11 @@
 """HierarchicalVQ autoencoder example (reference examples/autoencoder_hq.py;
 scales (1, 2, 4, 7), codebook 512, kmeans init, quant_resi 0.5)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import jax.numpy as jnp
 from flax import nnx

@@ -1,6 +1,11 @@
 """LFQ autoencoder example (reference examples/autoencoder_lfq.py;
 codebook 256 = 2^8, entropy_loss_weight 0.02, diversity_gamma 1)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import jax.numpy as jnp
 from flax import nnx

