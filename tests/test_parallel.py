@@ -177,3 +177,47 @@ def test_sharded_nearest_code_matches_unsharded(metric):
     ))(x, embed)
 
     assert (want == got).all()
+
+
+def test_kmeans_init_sharded_quality_matches_single():
+    """Sharded kmeans init draws its initial means from an all-gathered
+    candidate pool (different draw than single-device by design, mirroring
+    the reference's distributed sampling, vector_quantize_pytorch.py:193-229)
+    — so the invariant is QUALITY parity, not bit parity: quantization error
+    on the same global batch must be comparable. Replica identity is
+    asserted separately (test_ema_replicas_stay_identical)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 8, 16))
+
+    def run(sync_axis, mesh):
+        vq = VectorQuantize(
+            dim=16, codebook_size=8, decay=0.8, sync_axis=sync_axis,
+            kmeans_init=True, kmeans_iters=4, rngs=nnx.Rngs(0),
+        )
+        if sync_axis is None:
+            vq(x)
+            return np.array(vq.codebook)
+        graphdef, state = nnx.split(vq)
+
+        def body(state, batch):
+            m = nnx.merge(graphdef, state)
+            m(batch)
+            _, new_state = nnx.split(m)
+            return new_state
+
+        step = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P('data')), out_specs=P(),
+            check_vma=False,
+        ))
+        state = step(state, x)
+        return np.array(nnx.merge(graphdef, state).codebook)
+
+    single = run(None, None)
+    sharded = run('data', make_mesh(('data',)))
+
+    def quant_err(codebook):
+        flat = np.asarray(x).reshape(-1, 16)
+        d = ((flat[:, None, :] - codebook[None]) ** 2).sum(-1)
+        return float(d.min(axis=1).mean())
+
+    e1, e8 = quant_err(single), quant_err(sharded)
+    assert e8 < e1 * 1.25, (e1, e8)

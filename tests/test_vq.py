@@ -282,3 +282,45 @@ def test_sync_codebook_alias_maps_to_sync_axis():
     assert vq2._codebook.sync_axis == 'data'
     vq3 = VectorQuantize(dim=8, codebook_size=16, rngs=nnx.Rngs(0))
     assert vq3._codebook.sync_axis is None
+
+
+def test_vq_bridge_transformer_over_codebook():
+    # FVQ: a learnable module transforms the codebook before distance/lookup
+    # (reference vector_quantize_pytorch.py:716-717; tests/test_readme.py:512-539
+    # uses an external ViT; any nnx module with matching dims works)
+    from flax import nnx as _nnx
+
+    class Bridge(_nnx.Module):
+        def __init__(self, dim, rngs):
+            self.lin = _nnx.Linear(dim, dim, rngs=rngs)
+
+        def __call__(self, embed):
+            return self.lin(embed)
+
+    rngs = nnx.Rngs(0)
+    bridge = Bridge(16, rngs)
+    vq = VectorQuantize(dim=16, codebook_size=32, vq_bridge=bridge, rngs=rngs)
+    assert vq.learnable_codebook and not vq.ema_update
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 16))
+
+    def loss_fn(m):
+        q, ind, loss = m(x)
+        return (q ** 2).sum() + loss
+
+    grads = nnx.grad(loss_fn)(vq)
+    # gradient must flow into the bridge parameters (that's the point of FVQ)
+    gleaves = jax.tree.leaves(grads)
+    assert any(float(jnp.abs(g).max()) > 0 for g in gleaves)
+
+    # decode semantics match the reference: get_codes_from_indices returns
+    # RAW codebook rows (the bridge is a forward-time transform only,
+    # reference vector_quantize_pytorch.py:983-1019 uses the raw embed)
+    vq.eval()
+    q, ind, _ = vq(x)
+    dec = vq.get_codes_from_indices(ind)
+    raw = vq.codebook[ind]
+    assert jnp.allclose(dec, raw, atol=1e-6)
+    # the forward output is the BRIDGED row for the same index
+    bridged = bridge(vq.codebook)[ind]
+    assert jnp.allclose(q, bridged, atol=1e-5)
