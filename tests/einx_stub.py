@@ -58,4 +58,8 @@ def get_at(pattern, source, idx):
     if p.startswith('[c]d,b'):
         # sim_vq.py:92 '[c] d, b ... -> b ... d': plain row gather
         return source[idx.long()]
+    if p == 'bn[c]d,bn->bnd':
+        # residual_vq.py QINCo decode: per-token transformed-codebook gather
+        g = idx.long()[..., None, None].expand(*idx.shape, 1, source.shape[-1])
+        return source.gather(-2, g).squeeze(-2)
     raise NotImplementedError(pattern)

@@ -369,3 +369,152 @@ def test_residual_lfq_parity():
     oq, oi, ol = oo(jnp.asarray(x))
     assert (t2n(ri) == np.asarray(oi)).all()
     assert_close(t2n(rq), oq, atol=1e-5, what='residual lfq quantized')
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: BinaryMapper, HierarchicalVQ, GroupedResidualVQ, QINCo, affine,
+# spherical LFQ, dropout decode
+# ---------------------------------------------------------------------------
+
+def _copy_linear(tlin, jlin):
+    jlin.kernel.value = jnp.asarray(t2n(tlin.weight).T)
+    if tlin.bias is not None:
+        jlin.bias.value = jnp.asarray(t2n(tlin.bias))
+
+
+def test_binary_mapper_deterministic_parity():
+    rbm = ref.BinaryMapper(bits=6, deterministic_on_eval=True)
+    obm = vqtpu.BinaryMapper(bits=6, deterministic_on_eval=True,
+                             rngs=nnx.Rngs(0))
+    rbm.eval()
+    obm.eval()
+    logits = np.random.default_rng(30).standard_normal((4, 6)).astype(np.float32)
+    r_oh, r_ind, r_kl = rbm(torch.from_numpy(logits), return_indices=True)
+    o_oh, o_ind, o_kl = obm(jnp.asarray(logits), return_indices=True)
+    assert (t2n(r_ind) == np.asarray(o_ind)).all()
+    assert_close(t2n(r_oh), o_oh, atol=1e-6, what='bm one-hot')
+    # log_prob parity
+    r_lp = rbm.log_prob(torch.from_numpy(logits), indices=r_ind)
+    o_lp = obm.log_prob(jnp.asarray(logits), indices=o_ind)
+    assert_close(t2n(r_lp), o_lp, atol=1e-5, what='bm log_prob')
+
+
+def test_binary_mapper_kl_aux_parity():
+    # aux KL loss in train mode is deterministic given the same sampled bits;
+    # compare the analytic KL term on identical one-hot via fixed logits with
+    # extreme magnitudes (sampling is then deterministic in both frameworks)
+    rbm = ref.BinaryMapper(bits=4)
+    obm = vqtpu.BinaryMapper(bits=4, rngs=nnx.Rngs(0))
+    logits = (np.random.default_rng(31).standard_normal((8, 4)) * 50)\
+        .astype(np.float32)  # saturated -> Bernoulli is deterministic
+    r_oh, r_kl = rbm(torch.from_numpy(logits))
+    o_oh, o_kl = obm(jnp.asarray(logits))
+    assert_close(t2n(r_oh), o_oh, atol=1e-6, what='bm train one-hot')
+    assert_close(float(r_kl), float(o_kl), atol=1e-4, what='bm kl aux')
+
+
+def test_grouped_residual_vq_parity():
+    torch.manual_seed(32)
+    rg = ref.GroupedResidualVQ(dim=16, groups=2, num_quantizers=3,
+                               codebook_size=32)
+    og = vqtpu.GroupedResidualVQ(dim=16, groups=2, num_quantizers=3,
+                                 codebook_size=32, rngs=nnx.Rngs(0))
+    for g, rrvq in enumerate(rg.rvqs):
+        for i, layer in enumerate(rrvq.layers):
+            ovq = og.rvqs[g].layers[i]
+            ovq._codebook.embed.value = jnp.asarray(t2n(layer._codebook.embed))
+            ovq._codebook.embed_avg.value = jnp.asarray(
+                t2n(layer._codebook.embed_avg))
+            ovq._codebook.cluster_size.value = jnp.asarray(
+                t2n(layer._codebook.cluster_size))
+    rg.eval()
+    og.eval()
+    x = np.random.default_rng(33).standard_normal((2, 10, 16)).astype(np.float32)
+    rq, ri, rl = rg(torch.from_numpy(x))
+    oq, oi, ol = og(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='grouped rvq quantized')
+
+
+def test_qinco_residual_vq_parity():
+    torch.manual_seed(34)
+    rr = ref.ResidualVQ(dim=8, num_quantizers=3, codebook_size=16,
+                        implicit_neural_codebook=True,
+                        mlp_kwargs=dict(depth=2))
+    oo = vqtpu.ResidualVQ(dim=8, num_quantizers=3, codebook_size=16,
+                          implicit_neural_codebook=True,
+                          mlp_kwargs=dict(depth=2), rngs=nnx.Rngs(0))
+    for i, layer in enumerate(rr.layers):
+        ovq = oo.layers[i]
+        ovq._codebook.embed.value = jnp.asarray(t2n(layer._codebook.embed))
+        ovq._codebook.embed_avg.value = jnp.asarray(
+            t2n(layer._codebook.embed_avg))
+        ovq._codebook.cluster_size.value = jnp.asarray(
+            t2n(layer._codebook.cluster_size))
+    # copy QINCo MLPs (layers 2..N): reference rr.mlps / ours oo.mlps
+    for rmlp, omlp in zip(rr.mlps, oo.mlps):
+        _copy_linear(rmlp.proj_in, omlp.proj_in)
+        for rblock, oblock in zip(rmlp.layers, omlp.layers):
+            _copy_linear(rblock[0], oblock.lin1)
+            _copy_linear(rblock[2], oblock.lin2)
+    rr.eval()
+    oo.eval()
+    x = np.random.default_rng(35).standard_normal((2, 6, 8)).astype(np.float32)
+    rq, ri, rl = rr(torch.from_numpy(x))
+    oq, oi, ol = oo(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-4, what='qinco quantized')
+    # decode path (layer-by-layer re-transform)
+    rdec = rr.get_output_from_indices(ri)
+    odec = oo.get_output_from_indices(oi)
+    assert_close(t2n(rdec), odec, atol=1e-4, what='qinco decode')
+
+
+def test_vq_affine_param_parity():
+    rvq, ovq = make_pair(affine_param=True, sync_affine_param=False,
+                         decay=0.8)
+    x = np.random.default_rng(36).standard_normal((2, 24, 16)).astype(np.float32)
+    for step in range(3):
+        xs = x + step * 0.1
+        rq, ri, rl = rvq(torch.from_numpy(xs))
+        oq, oi, ol = ovq(jnp.asarray(xs))
+        assert (t2n(ri) == np.asarray(oi)).all(), f'step {step}'
+    assert_close(t2n(rq), oq, atol=1e-5, what='affine quantized')
+    assert_close(
+        t2n(rvq._codebook.batch_mean),
+        ovq._codebook.batch_mean.value, atol=1e-5, what='batch_mean',
+    )
+    assert_close(
+        t2n(rvq._codebook.batch_variance),
+        ovq._codebook.batch_variance.value, atol=1e-5, what='batch_variance',
+    )
+
+
+def test_lfq_spherical_bsq_parity():
+    rl = ref.LFQ(codebook_size=2 ** 6, dim=6, spherical=True)
+    ol = vqtpu.LFQ(codebook_size=2 ** 6, dim=6, spherical=True,
+                   rngs=nnx.Rngs(0))
+    rl.eval()
+    ol.eval()
+    x = np.random.default_rng(37).standard_normal((2, 10, 6)).astype(np.float32)
+    rq, ri, rent = rl(torch.from_numpy(x))
+    oq, oi, oent = ol(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-6, what='bsq quantized')
+
+
+def test_residual_vq_dropout_decode_parity():
+    # decode from indices containing -1 dropout padding must zero those
+    # layers' contributions in both frameworks
+    torch.manual_seed(38)
+    rr = ref.ResidualVQ(dim=8, num_quantizers=4, codebook_size=16)
+    oo = vqtpu.ResidualVQ(dim=8, num_quantizers=4, codebook_size=16,
+                          rngs=nnx.Rngs(0))
+    for i, layer in enumerate(rr.layers):
+        ovq = oo.layers[i]
+        ovq._codebook.embed.value = jnp.asarray(t2n(layer._codebook.embed))
+    indices = np.random.default_rng(39).integers(0, 16, (2, 6, 4))
+    indices[:, :, 2:] = -1                      # dropped layers
+    rdec = rr.get_output_from_indices(torch.from_numpy(indices))
+    odec = oo.get_output_from_indices(jnp.asarray(indices))
+    assert_close(t2n(rdec), odec, atol=1e-5, what='dropout decode')
