@@ -518,3 +518,101 @@ def test_residual_vq_dropout_decode_parity():
     rdec = rr.get_output_from_indices(torch.from_numpy(indices))
     odec = oo.get_output_from_indices(jnp.asarray(indices))
     assert_close(t2n(rdec), odec, atol=1e-5, what='dropout decode')
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: beam search, in-place codebook optimizer, CE-loss-vs-indices,
+# sync_update_v
+# ---------------------------------------------------------------------------
+
+def test_beam_search_parity():
+    torch.manual_seed(40)
+    rr = ref.ResidualVQ(dim=8, num_quantizers=3, codebook_size=16,
+                        beam_size=4)
+    oo = vqtpu.ResidualVQ(dim=8, num_quantizers=3, codebook_size=16,
+                          beam_size=4, rngs=nnx.Rngs(0))
+    for i, layer in enumerate(rr.layers):
+        ovq = oo.layers[i]
+        ovq._codebook.embed.value = jnp.asarray(t2n(layer._codebook.embed))
+        ovq._codebook.embed_avg.value = jnp.asarray(
+            t2n(layer._codebook.embed_avg))
+        ovq._codebook.cluster_size.value = jnp.asarray(
+            t2n(layer._codebook.cluster_size))
+    # train mode, batch 1, freeze_codebook: the reference's eval+beam path
+    # cannot handle the topk dim in its eval gather, and its beam einsum
+    # assumes batch 1 (its own test_beam.py uses train mode and batch 1)
+    x = np.random.default_rng(41).standard_normal((1, 6, 8)).astype(np.float32)
+    rq, ri, rl = rr(torch.from_numpy(x), freeze_codebook=True)
+    oq, oi, ol = oo(jnp.asarray(x), freeze_codebook=True)
+    assert (t2n(ri) == np.asarray(oi)).all(), 'beam indices'
+    assert_close(t2n(rq), oq, atol=1e-5, what='beam quantized')
+
+
+def test_in_place_codebook_optimizer_parity():
+    # the inner optimization step: loss.backward() + SGD step + re-quantize
+    # (reference vector_quantize_pytorch.py:1186-1210). SGD(lr) has identical
+    # math in torch and optax.
+    import functools as _ft
+
+    import optax
+
+    torch.manual_seed(42)
+    rvq = ref.VectorQuantize(
+        dim=16, codebook_size=32, learnable_codebook=True, ema_update=False,
+        in_place_codebook_optimizer=_ft.partial(torch.optim.SGD, lr=0.1),
+        rotation_trick=False,
+    )
+    ovq = vqtpu.VectorQuantize(
+        dim=16, codebook_size=32, learnable_codebook=True, ema_update=False,
+        in_place_codebook_optimizer=optax.sgd(0.1),
+        rotation_trick=False, rngs=nnx.Rngs(0),
+    )
+    ovq._codebook.embed.value = jnp.asarray(t2n(rvq._codebook.embed))
+    ovq._codebook.embed_avg.value = jnp.asarray(t2n(rvq._codebook.embed_avg))
+    ovq._codebook.cluster_size.value = jnp.asarray(
+        t2n(rvq._codebook.cluster_size))
+
+    x = np.random.default_rng(43).standard_normal((2, 12, 16)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x))
+    oq, oi, ol = ovq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    # post-inner-step codebook must match (the embedding moved toward x)
+    assert_close(
+        t2n(rvq._codebook.embed), ovq._codebook.embed.value, atol=1e-5,
+        what='embed after inner optimizer step',
+    )
+    assert_close(t2n(rq), oq, atol=1e-5, what='re-quantized output')
+
+
+def test_ce_loss_vs_indices_parity():
+    rvq, ovq = make_pair()
+    x = np.random.default_rng(44).standard_normal((2, 12, 16)).astype(np.float32)
+    target = np.random.default_rng(45).integers(0, 32, (2, 12))
+    rq, rloss = rvq(torch.from_numpy(x), indices=torch.from_numpy(target))
+    oq, oloss = ovq(jnp.asarray(x), indices=jnp.asarray(target))
+    assert_close(float(rloss), float(oloss), atol=1e-5, what='ce loss')
+    assert_close(t2n(rq), oq, atol=1e-5, what='ce-mode quantized')
+
+
+def test_sync_update_v_parity():
+    import functools as _ft
+
+    import optax
+
+    torch.manual_seed(46)
+    kw = dict(dim=16, codebook_size=32, learnable_codebook=True,
+              ema_update=False, sync_update_v=0.5, rotation_trick=False)
+    rvq = ref.VectorQuantize(
+        in_place_codebook_optimizer=_ft.partial(torch.optim.SGD, lr=0.05),
+        **kw)
+    ovq = vqtpu.VectorQuantize(
+        in_place_codebook_optimizer=optax.sgd(0.05), rngs=nnx.Rngs(0), **kw)
+    ovq._codebook.embed.value = jnp.asarray(t2n(rvq._codebook.embed))
+    ovq._codebook.embed_avg.value = jnp.asarray(t2n(rvq._codebook.embed_avg))
+    ovq._codebook.cluster_size.value = jnp.asarray(
+        t2n(rvq._codebook.cluster_size))
+    x = np.random.default_rng(47).standard_normal((2, 12, 16)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x))
+    oq, oi, ol = ovq(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='sync_update_v quantized')
