@@ -331,9 +331,15 @@ class Codebook(ModeModule):
         cluster_size = embed_onehot.sum(axis=1)                       # (h, c)
         cluster_size = collectives.psum(cluster_size, self.sync_axis)
 
+        # HIGHEST precision: on TPU the default lowers f32 matmuls to one
+        # bf16 pass, which would round the x values accumulated into the
+        # persistent EMA state (the one-hot side is exact in every pass, so
+        # HIGHEST makes this a bit-exact masked sum — reference computes it
+        # as an f32 einsum, vector_quantize_pytorch.py:605)
         embed_sum = jnp.einsum(
             'hnd,hnc->hcd', flatten, embed_onehot,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         embed_sum = collectives.psum(embed_sum, self.sync_axis)
 
@@ -615,7 +621,8 @@ class Codebook(ModeModule):
         if transformed_embed is not None:
             if self.training:
                 quantize_flat = jnp.einsum(
-                    'h n ... c, h n c d -> h n ... d', embed_onehot, transformed_embed
+                    'h n ... c, h n c d -> h n ... d', embed_onehot, transformed_embed,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             else:
                 quantize_flat = jnp.take_along_axis(

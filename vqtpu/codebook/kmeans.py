@@ -89,9 +89,12 @@ def kmeans(
         bins = one_hot.sum(axis=1)                                # (h, c)
         bins = collectives.psum(bins, sync_axis)
 
+        # HIGHEST: exact one-hot-masked sums into the init state (on TPU the
+        # default would round samples to bf16)
         new_means = jnp.einsum(
             'hnc,hnd->hcd', one_hot, samples,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         new_means = collectives.psum(new_means, sync_axis)
 

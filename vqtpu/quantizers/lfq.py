@@ -247,9 +247,12 @@ class LFQ(ModeModule):
             flat = jnp.take(flat, sel, axis=0)
             weights = jnp.take(weights, sel, axis=0)
 
-        # -2 x.c is euclidean distance up to a constant (reference :374,382)
+        # -2 x.c is euclidean distance up to a constant (reference :374,382);
+        # HIGHEST keeps the entropy logits f32-faithful on TPU (the LFQ core
+        # is a forced-f32 region in the reference, :312-316)
         distance = -2 * jnp.einsum(
-            'ncd,kd->nck', flat, codebook, preferred_element_type=jnp.float32
+            'ncd,kd->nck', flat, codebook, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         prob = jax.nn.softmax(-distance * inv_temperature, axis=-1)  # (N', c, K)
 
