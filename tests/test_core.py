@@ -208,3 +208,16 @@ def test_codebook_metrics():
     # jit-compatible
     f = jax.jit(lambda i: metrics.codebook_perplexity(i, 4))
     assert np.isfinite(float(f(jnp.array([0, 1, 2, 3]))))
+
+
+def test_timeit_chained_measures_work():
+    from vqtpu.utils import timeit_chained
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (256, 256))
+    w = jax.random.normal(jax.random.PRNGKey(1), (256, 256))
+
+    t_small = timeit_chained(lambda a, b: a @ b, x, w, lo=2, hi=6)
+    t_big = timeit_chained(
+        lambda a, b: ((a @ b) @ b) @ b, x, w, lo=2, hi=6)
+    assert t_small > 0
+    assert t_big > t_small  # 3x the matmuls must cost measurably more

@@ -5,3 +5,4 @@ from .checkpoint import (
     restore_checkpoint,
     DERIVED_STATE_DOC,
 )
+from .profiling import trace, annotate, timeit_chained
