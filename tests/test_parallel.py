@@ -221,3 +221,75 @@ def test_kmeans_init_sharded_quality_matches_single():
 
     e1, e8 = quant_err(single), quant_err(sharded)
     assert e8 < e1 * 1.25, (e1, e8)
+
+
+def test_sharded_codebook_vq_parity_2d_mesh():
+    """Row-sharded codebook on a 2D (data, code) mesh vs the unsharded
+    Codebook engine on the same global batch (the north-star TP extension):
+    indices BIT-identical; EMA state within 1-2 ulps (the data-axis psum
+    sums per-shard partials in a different order than one global einsum,
+    so the last bit can differ — measured maxdiff 2.4e-7 over 2 steps)."""
+    from vqtpu.codebook.codebook import Codebook
+    from vqtpu.parallel.sharded_vq import (
+        init_sharded_codebook, sharded_quantize, sharded_ema_update,
+    )
+
+    d, c = 16, 32
+    n = 64
+    mesh = make_mesh(('data', 'code'), shape=(2, 4))
+    key = jax.random.PRNGKey(0)
+    embed = jax.random.normal(key, (c, d))
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, d))
+
+    # ---- unsharded engine, 2 EMA steps ----
+    cb = Codebook(dim=d, codebook_size=c, decay=0.8,
+                  threshold_ema_dead_code=0, rngs=nnx.Rngs(0))
+    cb.embed.value = embed[None]
+    cb.embed_avg.value = embed[None].astype(jnp.float32)
+    cb.cluster_size.value = jnp.ones((1, c), jnp.float32)
+    q_ref = i_ref = None
+    for step in range(2):
+        q_ref, i_ref, _ = cb(x[None] + step * 0.1)
+
+    # ---- sharded engine on the 2D mesh ----
+    def body(state, embed_shard, xs):
+        idx, q = sharded_quantize(xs, state.embed, 'code')
+        new_state = sharded_ema_update(
+            state, xs, idx, code_axis='code', data_axis='data', decay=0.8,
+        )
+        return new_state, idx, q
+
+    from vqtpu.parallel.sharded_vq import ShardedCodebookState
+    state = ShardedCodebookState(
+        embed=embed,
+        embed_avg=embed.astype(jnp.float32),
+        cluster_size=jnp.ones(c, jnp.float32),
+    )
+    # in_specs for the state: rows over 'code'
+    stepped = jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            ShardedCodebookState(P('code'), P('code'), P('code')),
+            P('code'), P('data'),
+        ),
+        out_specs=(
+            ShardedCodebookState(P('code'), P('code'), P('code')),
+            P('data'), P('data'),
+        ),
+        check_vma=False,
+    ))
+
+    idx = q = None
+    for step in range(2):
+        state, idx, q = stepped(state, embed, x + step * 0.1)
+
+    assert (np.asarray(idx) == np.asarray(i_ref[0])).all(), 'selection parity'
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray(q_ref[0]), atol=1e-5, err_msg='lookup')
+    np.testing.assert_allclose(
+        np.asarray(state.cluster_size), np.asarray(cb.cluster_size[...][0]),
+        atol=1e-5, err_msg='cluster_size')
+    np.testing.assert_allclose(
+        np.asarray(state.embed), np.asarray(cb.embed[...][0]), atol=1e-5,
+        err_msg='EMA embed')
