@@ -96,6 +96,7 @@ class Codebook(ModeModule):
         use_cosine_sim: bool = False,
         vq_bridge: nnx.Module | Callable | None = None,
         use_pallas: bool = True,
+        stat_precision=jax.lax.Precision.HIGHEST,
         rngs: nnx.Rngs,
     ):
         self.dim = dim
@@ -113,6 +114,11 @@ class Codebook(ModeModule):
         self.sync_axis = sync_axis
         self.learnable_codebook = learnable_codebook
         self.use_pallas = use_pallas
+        # precision of the matmuls feeding persistent EMA state. HIGHEST is
+        # bit-exact on TPU (one-hot operand; 3 bf16 passes) and the default;
+        # DEFAULT trades ~25% training-forward time for bf16-rounded stats
+        # (benchmarks/train_step_tpu.py)
+        self.stat_precision = stat_precision
         self.training = True
 
         self.threshold_ema_dead_code = threshold_ema_dead_code
@@ -331,15 +337,15 @@ class Codebook(ModeModule):
         cluster_size = embed_onehot.sum(axis=1)                       # (h, c)
         cluster_size = collectives.psum(cluster_size, self.sync_axis)
 
-        # HIGHEST precision: on TPU the default lowers f32 matmuls to one
-        # bf16 pass, which would round the x values accumulated into the
-        # persistent EMA state (the one-hot side is exact in every pass, so
-        # HIGHEST makes this a bit-exact masked sum — reference computes it
-        # as an f32 einsum, vector_quantize_pytorch.py:605)
+        # HIGHEST (default): on TPU the default precision lowers f32 matmuls
+        # to one bf16 pass, which would round the x values accumulated into
+        # the persistent EMA state (the one-hot side is exact in every pass,
+        # so HIGHEST makes this a bit-exact masked sum — reference computes
+        # it as an f32 einsum, vector_quantize_pytorch.py:605)
         embed_sum = jnp.einsum(
             'hnd,hnc->hcd', flatten, embed_onehot,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=self.stat_precision,
         )
         embed_sum = collectives.psum(embed_sum, self.sync_axis)
 

@@ -116,6 +116,7 @@ class VectorQuantize(ModeModule):
         return_zeros_for_masked_padding: bool = True,
         route_gradients_to_input: bool = True,
         use_pallas: bool = True,
+        stat_precision=jax.lax.Precision.HIGHEST,
         rngs: nnx.Rngs | None = None,
     ):
         if rngs is None:
@@ -249,6 +250,7 @@ class VectorQuantize(ModeModule):
             affine_param_batch_decay=affine_param_batch_decay,
             affine_param_codebook_decay=affine_param_codebook_decay,
             use_pallas=use_pallas,
+            stat_precision=stat_precision,
             rngs=rngs,
         )
 
