@@ -616,3 +616,58 @@ def test_sync_update_v_parity():
     oq, oi, ol = ovq(jnp.asarray(x))
     assert (t2n(ri) == np.asarray(oi)).all()
     assert_close(t2n(rq), oq, atol=1e-5, what='sync_update_v quantized')
+
+
+def test_hierarchical_vq_parity():
+    torch.manual_seed(50)
+    kw = dict(dim=8, codebook_size=16, scales=(1, 2, 4), kmeans_init=False,
+              threshold_ema_dead_code=0, quant_resi=0.5, share_quant_resi=1,
+              accept_image_fmap=True)
+    rh = ref.HierarchicalVQ(**kw)
+    oh = vqtpu.HierarchicalVQ(rngs=nnx.Rngs(0), **kw)
+    # shared quantizer state
+    oh.vq._codebook.embed.value = jnp.asarray(t2n(rh.vq._codebook.embed))
+    oh.vq._codebook.embed_avg.value = jnp.asarray(
+        t2n(rh.vq._codebook.embed_avg))
+    oh.vq._codebook.cluster_size.value = jnp.asarray(
+        t2n(rh.vq._codebook.cluster_size))
+    # shared Phi conv (torch OIHW -> flax HWIO)
+    rconv = rh.phi_shared.conv if hasattr(rh, 'phi_shared') else rh.phi_levels[0].conv
+    oconv = oh.phi_shared.conv if oh.phi_shared is not None else oh.phi_levels[0].conv
+    oconv.kernel.value = jnp.asarray(
+        np.transpose(t2n(rconv.weight), (2, 3, 1, 0)))
+    oconv.bias.value = jnp.asarray(t2n(rconv.bias))
+
+    rh.eval()
+    oh.eval()
+    fmap = np.random.default_rng(51).standard_normal((2, 8, 4, 4)).astype(np.float32)
+    r_out = rh(torch.from_numpy(fmap))
+    o_out = oh(jnp.asarray(fmap))
+    r_recon, r_inds = r_out[0], r_out[1]
+    o_recon, o_inds = o_out[0], o_out[1]
+    for i, (ri, oi) in enumerate(zip(r_inds, o_inds)):
+        assert (t2n(ri) == np.asarray(oi)).all(), f'scale {i} indices'
+    assert_close(t2n(r_recon), o_recon, atol=1e-5, what='hq recon')
+    # decode path
+    r_dec = rh.get_output_from_indices(r_inds)
+    o_dec = oh.get_output_from_indices(o_inds)
+    assert_close(t2n(r_dec), o_dec, atol=1e-5, what='hq decode')
+
+
+def test_latent_quantize_inplace_optimizer_upstream_broken():
+    """The reference's LatentQuantize in-place-optimizer path crashes on any
+    training forward: `self.optimize_values` is read at
+    latent_quantization.py:264 but never assigned in __init__ (:129-137).
+    Golden parity is therefore impossible; we pin the upstream breakage here
+    and test our working implementation behaviorally in
+    tests/test_quantizers_misc.py."""
+    import functools as _ft
+
+    torch.manual_seed(52)
+    rlq = ref.LatentQuantize(
+        levels=[5, 5, 8], dim=9,
+        in_place_codebook_optimizer=_ft.partial(torch.optim.SGD, lr=0.1))
+    x = torch.from_numpy(
+        np.random.default_rng(53).standard_normal((2, 9, 10)).astype(np.float32))
+    with pytest.raises(AttributeError, match='optimize_values'):
+        rlq(x)

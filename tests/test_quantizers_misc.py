@@ -188,3 +188,26 @@ class TestBinaryMapper:
         logits = jax.random.normal(jax.random.PRNGKey(0), (8, 4))
         g = nnx.grad(loss_fn, argnums=1)(bm, logits)
         assert jnp.isfinite(g).all() and (jnp.abs(g) > 0).any()
+
+
+def test_latent_quantize_inplace_optimizer_moves_values():
+    # our working implementation of the in-place inner optimizer for
+    # LatentQuantize (the reference's equivalent path is broken upstream:
+    # latent_quantization.py:264 reads a never-assigned attribute)
+    import numpy as np
+    import optax
+    from vqtpu import LatentQuantize
+
+    lq = LatentQuantize(levels=[5, 5, 8], dim=9,
+                        in_place_codebook_optimizer=optax.sgd(0.1),
+                        rngs=nnx.Rngs(0))
+    before = [np.array(v[...]) for v in lq.values_per_latent]
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 10))
+    q, ind, loss = lq(x)
+    after = [np.array(v[...]) for v in lq.values_per_latent]
+    moved = any((a != b).any() for a, b in zip(before, after))
+    assert moved, 'inner optimizer step did not move the values'
+    # eval round-trip still consistent after the inner step
+    lq.eval()
+    q, ind, _ = lq(x)
+    assert jnp.isfinite(q).all()

@@ -142,11 +142,16 @@ class LatentQuantize(ModeModule):
 
     # -- quantization ---------------------------------------------------------
 
-    def quantize(self, z: jax.Array) -> jax.Array:
+    def quantize(self, z: jax.Array, ste: bool = True) -> jax.Array:
         """Per-dimension nearest-value quantization with STE
         (reference latent_quantization.py:148-176). NOTE: quantizes to the
         *learned* values, while the index codec uses the canonical grid —
-        matching the reference's (intentional) split."""
+        matching the reference's (intentional) split.
+
+        `ste=False` returns the raw gathered values (differentiable w.r.t.
+        `values_per_latent` through the gather) — used by the inner
+        in-place-optimizer loss, where the STE form would zero the value
+        gradients."""
         quantized_dims = []
         for i in range(self.codebook_dim):
             values = self.values_per_latent[i][...]
@@ -154,6 +159,8 @@ class LatentQuantize(ModeModule):
             idx = jnp.argmin(dist, axis=-1)
             quantized_dims.append(jnp.take(values, idx))
         quantize = jnp.stack(quantized_dims, axis=-1)
+        if not ste:
+            return quantize
         return z + sg(quantize - z)
 
     # -- losses --------------------------------------------------------------
@@ -168,9 +175,9 @@ class LatentQuantize(ModeModule):
 
     # -- forward -------------------------------------------------------------
 
-    def _quantize_tokens(self, z_tokens: jax.Array):
+    def _quantize_tokens(self, z_tokens: jax.Array, ste: bool = True):
         """(b, N, c, d) -> (out (b, N, c*d->dim), indices (b, N, c))."""
-        codes = self.quantize(z_tokens)
+        codes = self.quantize(z_tokens, ste=ste)
         indices = self.codes_to_indices(codes)
         codes = codes.reshape(*codes.shape[:-2], -1)
         out = self.project_out(codes) if self.project_out is not None else codes
@@ -207,7 +214,13 @@ class LatentQuantize(ModeModule):
 
             def inner_loss(p):
                 m = nnx.merge(graphdef, p, jax.tree.map(lambda a: a, rest))
-                out_tokens, _ = m._quantize_tokens(z)
+                # raw (non-STE) quantize: gradients must reach the values
+                # through the gather. (The reference's equivalent path is
+                # broken upstream — latent_quantization.py:264 reads a
+                # never-assigned attribute — so these are the coherent
+                # semantics: the inner step pulls the level values toward
+                # the batch, exactly like the VQ in-place optimizer.)
+                out_tokens, _ = m._quantize_tokens(z, ste=False)
                 out, _ = finalize(out_tokens, jnp.zeros(z.shape[:3], jnp.int32))
                 loss = jnp.asarray(0.0)
                 if self.commitment_loss_weight != 0:
