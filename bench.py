@@ -75,13 +75,19 @@ def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 2, hi: int = 18) -
 
     float(chained(x, embed, lo))     # compile both
     float(chained(x, embed, hi))
-    t0 = time.perf_counter()
-    float(chained(x, embed, lo))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chained(x, embed, hi))
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (hi - lo)
+
+    # median of 3 slopes: the tunnel adds run-to-run jitter of several %,
+    # and the driver records a single invocation
+    slopes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(x, embed, lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chained(x, embed, hi))
+        t_hi = time.perf_counter() - t0
+        slopes.append((t_hi - t_lo) / (hi - lo))
+    return sorted(slopes)[1]
 
 
 def main():

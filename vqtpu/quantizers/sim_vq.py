@@ -104,18 +104,26 @@ class SimVQ(ModeModule):
         quantized = gather_codes(implicit_codebook, indices)
         x_tokens = x_flat[0]
 
-        # dual commit loss: codebook -> input (strong) and input -> codebook
-        # (weighted down; reference :121-124)
-        commit_loss = (
-            ((sg(x_tokens) - quantized) ** 2).mean()
-            + ((x_tokens - sg(quantized)) ** 2).mean()
-            * self.input_to_quantize_commit_loss_weight
-        )
+        if self.training:
+            # dual commit loss: codebook -> input (strong) and input ->
+            # codebook (weighted down; reference :121-124)
+            commit_loss = (
+                ((sg(x_tokens) - quantized) ** 2).mean()
+                + ((x_tokens - sg(quantized)) ** 2).mean()
+                * self.input_to_quantize_commit_loss_weight
+            )
 
-        if self.rotation_trick:
-            quantized = rotate_to(x_tokens, quantized)
+            if self.rotation_trick:
+                quantized = rotate_to(x_tokens, quantized)
+            else:
+                quantized = x_tokens + sg(quantized - x_tokens)
         else:
-            quantized = x_tokens + sg(quantized - x_tokens)
+            # eval: the gradient estimators are value-identity rewrites
+            # (rotate_to's forward value IS the quantized row by
+            # construction), so skip their arithmetic — ~3.5x faster eval
+            # forward at 524k tokens (benchmarks/composites_tpu.py) and the
+            # output equals decode-from-indices bit-exactly
+            commit_loss = jnp.asarray(0.0, jnp.float32)
 
         quantized = quantized.reshape(*lead_shape, d)
         indices = indices.reshape(lead_shape)
