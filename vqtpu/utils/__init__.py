@@ -6,3 +6,4 @@ from .checkpoint import (
     DERIVED_STATE_DOC,
 )
 from .profiling import trace, annotate, timeit_chained
+from .torch_import import import_torch_state
