@@ -118,3 +118,27 @@ def test_import_hierarchical_vq():
     o_out = oh(jnp.asarray(fmap))
     for ri, oi in zip(r_out[1], o_out[1]):
         assert (np.array(ri.numpy()) == np.asarray(oi)).all()
+
+
+def test_import_fsq_lfq_projections():
+    torch.manual_seed(6)
+    rf = ref.FSQ(levels=[8, 5, 5], dim=16)
+    of = vqtpu.FSQ(levels=[8, 5, 5], dim=16, rngs=nnx.Rngs(1))
+    import_torch_state(of, sd(rf))
+    rf.eval()
+    of.eval()
+    x = np.random.default_rng(7).standard_normal((2, 10, 16)).astype(np.float32)
+    rq, ri = rf(torch.from_numpy(x))
+    oq, oi = of(jnp.asarray(x))
+    assert (np.array(ri.numpy()) == np.asarray(oi)).all()
+    np.testing.assert_allclose(np.array(rq.detach().numpy()), np.asarray(oq),
+                               atol=1e-5)
+
+    rl = ref.LFQ(codebook_size=2 ** 4, dim=16)
+    ol = vqtpu.LFQ(codebook_size=2 ** 4, dim=16, rngs=nnx.Rngs(2))
+    import_torch_state(ol, sd(rl))
+    rl.eval()
+    ol.eval()
+    rq, ri, _ = rl(torch.from_numpy(x))
+    oq, oi, _ = ol(jnp.asarray(x))
+    assert (np.array(ri.numpy()) == np.asarray(oi)).all()

@@ -158,6 +158,32 @@ def import_torch_state(module, torch_state: dict) -> None:
             for i, phi in enumerate(module.phi_levels):
                 _conv2d(torch_state, f'phi_levels.{i}.conv', phi.conv)
 
+    elif isinstance(module, (vqtpu.FSQ, vqtpu.FSP, vqtpu.LFQ,
+                             vqtpu.BinaryMapper)):
+        # stateless cores: only the optional in/out projections are learnable
+        # (FSQ finite_scalar_quantization.py: project_in/out; LFQ
+        # lookup_free_quantization.py:138-146; BinaryMapper has no params)
+        for pname in ('project_in', 'project_out'):
+            if f'{pname}.weight' in torch_state:
+                target = getattr(module, pname, None)
+                if target is None:
+                    continue
+                if hasattr(target, 'kernel'):
+                    _linear(torch_state, pname, target)
+                elif hasattr(target, 'weight'):      # LFQ CosineSimLinear
+                    _set(target.weight,
+                         _to_np(torch_state[f'{pname}.weight']).T)
+
+    elif isinstance(module, (vqtpu.ResidualFSQ, vqtpu.ResidualLFQ)):
+        for i, layer in enumerate(module.layers):
+            sub = {k[len(f'layers.{i}.'):]: v for k, v in torch_state.items()
+                   if k.startswith(f'layers.{i}.')}
+            import_torch_state(layer, sub)
+        for pname in ('project_in', 'project_out'):
+            if (f'{pname}.weight' in torch_state
+                    and getattr(module, pname, None) is not None):
+                _linear(torch_state, pname, getattr(module, pname))
+
     else:
         raise NotImplementedError(
             f'import_torch_state: unsupported module {name}')
