@@ -293,3 +293,32 @@ def test_sharded_codebook_vq_parity_2d_mesh():
     np.testing.assert_allclose(
         np.asarray(state.embed), np.asarray(cb.embed[...][0]), atol=1e-5,
         err_msg='EMA embed')
+
+
+def test_fsp_distributed_moments_match_single():
+    """FSP's VectorNorm regularizer computes GLOBAL batch moments under DP
+    (sync_axis): sharded loss == single-device loss on the same global
+    batch (the reference has no distributed FSP at all)."""
+    from vqtpu.quantizers import FSP
+
+    mesh = make_mesh(('data',))
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8, 3))
+
+    single = FSP(levels=[8, 6, 5], quantize_rate=1.0, rngs=nnx.Rngs(0))
+    _, _, loss_single, _ = single(x)
+
+    sharded = FSP(levels=[8, 6, 5], quantize_rate=1.0, sync_axis='data',
+                  rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(sharded)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        _, _, loss, _ = m(batch)
+        return loss
+
+    loss_sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P('data')), out_specs=P(),
+        check_vma=False,
+    ))(state, x)
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded),
+                               rtol=2e-4)

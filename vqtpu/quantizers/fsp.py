@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ..core.module import ModeModule
+from ..parallel import collectives
 from ..core.utils import default
 
 sg = jax.lax.stop_gradient
@@ -61,17 +62,22 @@ def build_cdf_act(act_name: str) -> tuple[Callable, Callable]:
     return _CDF_REGISTRY[act_name]
 
 
-def batch_stats(batch: jax.Array, eps: float = 1e-8):
+def batch_stats(batch: jax.Array, eps: float = 1e-8,
+                sync_axis: str | None = None):
     """(n, d) -> per-dim mean, variance (unbiased), skewness, excess
-    kurtosis (reference :93-99)."""
-    mean = batch.mean(axis=0)
-    n = batch.shape[0]
+    kurtosis (reference :93-99). With `sync_axis`, the moments are computed
+    over the GLOBAL batch across data-parallel shards (psum'd sums —
+    SURVEY.md D1/C10: the reference has no distributed FSP; this is the
+    TPU-native extension)."""
+    n = batch.shape[0] * collectives.axis_size(sync_axis)
+    mean = collectives.psum(batch.sum(axis=0), sync_axis) / n
     centered = batch - mean
-    variance = (centered ** 2).sum(axis=0) / max(n - 1, 1)
+    variance = collectives.psum(
+        (centered ** 2).sum(axis=0), sync_axis) / max(n - 1, 1)
     std = jnp.maximum(jnp.sqrt(variance), eps)
     z = centered / std
-    skewness = (z ** 3).mean(axis=0)
-    kurtosis = (z ** 4).mean(axis=0) - 3.0
+    skewness = collectives.psum((z ** 3).sum(axis=0), sync_axis) / n
+    kurtosis = collectives.psum((z ** 4).sum(axis=0), sync_axis) / n - 3.0
     return mean, variance, skewness, kurtosis
 
 
@@ -92,9 +98,11 @@ class VectorNorm(nnx.Module):
         self.l3_target, self.l3_weight = l3_target, l3_weight
         self.l4_target, self.l4_weight = l4_target, l4_weight
         self.eps = eps
+        self.sync_axis = None          # set by FSP when data-parallel
 
     def __call__(self, z: jax.Array) -> tuple[jax.Array, dict]:
-        mean, variance, skewness, kurtosis = batch_stats(z, self.eps)
+        mean, variance, skewness, kurtosis = batch_stats(
+            z, self.eps, self.sync_axis)
         norm_loss = (
             ((mean - self.l1_target) ** 2).mean() * self.l1_weight
             + ((variance - self.l2_target) ** 2).mean() * self.l2_weight
@@ -144,6 +152,7 @@ class FSP(ModeModule):
         quantize_rate: float = 0.0,
         need_inv_act: bool = False,
         vector_norm: str = 'var_tanh',
+        sync_axis: str | None = None,
         *,
         rngs: nnx.Rngs | None = None,
     ):
@@ -179,6 +188,9 @@ class FSP(ModeModule):
         self.need_inv_act = need_inv_act
         self.quantize_rate = quantize_rate
         self.vector_norm = VectorNorm.build(vector_norm)
+        # data-parallel: moment statistics psum over this mesh axis
+        self.vector_norm.sync_axis = sync_axis
+        self.sync_axis = sync_axis
         self.rngs = rngs
 
     def __repr__(self):
