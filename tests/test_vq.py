@@ -324,3 +324,22 @@ def test_vq_bridge_transformer_over_codebook():
     # the forward output is the BRIDGED row for the same index
     bridged = bridge(vq.codebook)[ind]
     assert jnp.allclose(q, bridged, atol=1e-5)
+
+
+def test_vq_channel_first_with_mask():
+    # the reference crashes outright on channel_last=False + mask
+    # (vector_quantize_pytorch.py:1319 compares mismatched layouts); we
+    # support it: padding -> zeros in (b, d, n), indices -> -1
+    vq = VectorQuantize(dim=8, codebook_size=16, channel_last=False,
+                        rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 10))
+    mask = jnp.array([[True] * 6 + [False] * 4, [True] * 10])
+    q, i, l = vq(x, mask=mask)
+    assert q.shape == x.shape and i.shape == (2, 10)
+    assert (i[0, 6:] == -1).all() and (q[0, :, 6:] == 0).all()
+    # masked forward == sliced forward on the prefix (eval)
+    vq.eval()
+    qm, im, _ = vq(x, mask=mask)
+    qs, is_, _ = vq(x[:1, :, :6])
+    assert jnp.allclose(qm[0, :, :6], qs[0], atol=1e-5)
+    assert (im[0, :6] == is_[0]).all()

@@ -795,7 +795,14 @@ class VectorQuantize(ModeModule):
             else:
                 masked_out_value = orig_input
 
-            qmask = append_dims_to(mask, quantize.ndim)
+            if not self.channel_last and not self.accept_image_fmap \
+                    and not self.accept_3d_fmap:
+                # quantize was restored to (b, d, n): the token axis is last
+                # (the reference crashes outright on channel_last=False +
+                # mask, vector_quantize_pytorch.py:1319 — fixed here)
+                qmask = mask[:, None, :]
+            else:
+                qmask = append_dims_to(mask, quantize.ndim)
             mval = masked_out_value
             if quantize.ndim > mval.ndim:                       # topk case
                 mval = jnp.broadcast_to(mval[..., None, :], quantize.shape)
