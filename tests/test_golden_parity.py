@@ -671,3 +671,31 @@ def test_latent_quantize_inplace_optimizer_upstream_broken():
         np.random.default_rng(53).standard_normal((2, 9, 10)).astype(np.float32))
     with pytest.raises(AttributeError, match='optimize_values'):
         rlq(x)
+
+
+def test_grouped_residual_fsq_parity():
+    rg = ref.GroupedResidualFSQ(dim=8, groups=2, levels=[8, 5, 5, 3],
+                                num_quantizers=2)
+    og = vqtpu.GroupedResidualFSQ(dim=8, groups=2, levels=[8, 5, 5, 3],
+                                  num_quantizers=2, rngs=nnx.Rngs(0))
+    rg.eval()
+    og.eval()
+    x = np.random.default_rng(60).standard_normal((2, 10, 8)).astype(np.float32)
+    rq, ri = rg(torch.from_numpy(x))
+    oq, oi = og(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='grouped residual fsq')
+
+
+def test_grouped_residual_lfq_parity():
+    rg = ref.GroupedResidualLFQ(dim=8, groups=2, codebook_size=2 ** 4,
+                                num_quantizers=2)
+    og = vqtpu.GroupedResidualLFQ(dim=8, groups=2, codebook_size=2 ** 4,
+                                  num_quantizers=2, rngs=nnx.Rngs(0))
+    rg.eval()
+    og.eval()
+    x = np.random.default_rng(61).standard_normal((2, 10, 8)).astype(np.float32)
+    rq, ri, rl = rg(torch.from_numpy(x))
+    oq, oi, ol = og(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='grouped residual lfq')
