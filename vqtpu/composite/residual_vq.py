@@ -32,7 +32,7 @@ from flax import nnx
 
 from ..core.module import ModeModule
 from ..core.ste import frac_gradient, directional_reparam
-from ..core.utils import cast_tuple, default, exists, first, round_up_multiple
+from ..core.utils import cast_tuple, default, exists, first
 from ..quantizers.vq import VectorQuantize
 
 sg = jax.lax.stop_gradient

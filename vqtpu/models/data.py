@@ -14,7 +14,7 @@ import numpy as np
 
 def _try_fashion_mnist():
     try:
-        from torchvision import datasets, transforms  # type: ignore
+        from torchvision import datasets  # type: ignore
         import os
 
         for root in ('~/data/fashion_mnist', '~/data', '/root/data'):
