@@ -1,0 +1,148 @@
+"""End-to-end verify drive for vqtpu (see .claude/skills/verify).
+
+Usage: python /tmp/verify_drive.py [cpu|tpu]
+
+Drives real user flows through the public API:
+  1. train an enc->VQ->dec model ~200 steps on synthetic mixture data;
+     assert reconstruction drops >5x
+  2. eval round-trip: get_output_from_indices(indices) == quantized
+  3. masked forward vs sliced forward
+  4. bf16 input probe (core must force f32)
+  5. ResidualVQ round-trip; FSQ/LFQ exact round-trip
+  6. (tpu) Pallas nearest_code vs XLA reference indices on-device
+"""
+import sys
+
+mode = sys.argv[1] if len(sys.argv) > 1 else 'cpu'
+
+import jax
+
+if mode == 'cpu':
+    jax.config.update('jax_platforms', 'cpu')
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+import vqtpu
+from vqtpu import VectorQuantize, ResidualVQ, FSQ, LFQ
+
+print(f'backend: {jax.devices()[0].platform}')
+
+# ---- 1. train drive -------------------------------------------------------
+class Model(nnx.Module):
+    def __init__(self, rngs):
+        self.enc = nnx.Linear(16, 32, rngs=rngs)
+        self.vq = VectorQuantize(dim=32, codebook_size=64, decay=0.8,
+                                 commitment_weight=1.0, rngs=rngs)
+        self.dec = nnx.Linear(32, 16, rngs=rngs)
+
+    def __call__(self, x):
+        z = self.enc(x)
+        q, ind, loss = self.vq(z)
+        return self.dec(q), ind, loss
+
+rngs = nnx.Rngs(0)
+model = Model(rngs)
+opt = nnx.Optimizer(model, optax.adam(3e-3), wrt=nnx.Param)
+
+# synthetic 8-mode gaussian mixture in 16-d
+key = jax.random.PRNGKey(42)
+centers = jax.random.normal(key, (8, 16)) * 2.0
+
+@nnx.jit
+def step(model, opt, x):
+    def loss_fn(m):
+        recon, ind, commit = m(x)
+        rec = ((recon - x) ** 2).mean()
+        return rec + commit, rec
+    (loss, rec), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+    opt.update(model, grads)
+    return rec
+
+recs = []
+for i in range(200):
+    k1, k2, key = jax.random.split(key, 3)
+    mode_ix = jax.random.randint(k1, (128,), 0, 8)
+    x = centers[mode_ix] + 0.1 * jax.random.normal(k2, (128, 16))
+    recs.append(float(step(model, opt, x)))
+
+print(f'rec[0]={recs[0]:.4f} rec[-1]={recs[-1]:.4f} ratio={recs[0]/max(recs[-1],1e-9):.1f}x')
+assert recs[-1] < recs[0] / 5, 'reconstruction did not drop >5x'
+
+# ---- 2. eval round-trip ----------------------------------------------------
+model.eval()
+x = centers[jax.random.randint(key, (32,), 0, 8)]
+z = model.enc(x)
+q, ind, _ = model.vq(z)
+decoded = model.vq.get_output_from_indices(ind)
+assert jnp.allclose(q, decoded, atol=1e-5), 'round-trip failed'
+print('round-trip ok')
+
+# ---- 3. mask vs slice (eval: EMA must not move between the two calls) ------
+zseq = jax.random.normal(key, (2, 10, 32))
+mask = jnp.arange(10)[None, :] < jnp.array([[6], [10]])
+qm, im, lm = model.vq(zseq, mask=mask)
+qs, is_, ls = model.vq(zseq[:1, :6])
+assert jnp.allclose(qm[0, :6], qs[0], atol=1e-5)
+assert (im[0, :6] == is_[0]).all()
+assert (qm[0, 6:] == 0).all() and (im[0, 6:] == -1).all()
+print('mask-vs-slice ok')
+
+# ---- 4. bf16 probe ---------------------------------------------------------
+qb, ib, lb = model.vq(zseq.astype(jnp.bfloat16))
+assert jnp.isfinite(qb.astype(jnp.float32)).all()
+print('bf16 ok, out dtype:', qb.dtype)
+
+# ---- 5. residual + stateless round-trips -----------------------------------
+rvq = ResidualVQ(dim=32, num_quantizers=4, codebook_size=64, rngs=nnx.Rngs(1))
+rvq.eval()
+zr = jax.random.normal(key, (2, 10, 32))
+qr, indr, lr = rvq(zr)
+outr = rvq.get_output_from_indices(indr)
+assert jnp.allclose(qr, outr, atol=1e-5), 'rvq round-trip failed'
+
+fsq = FSQ(levels=[8, 5, 5, 5], rngs=nnx.Rngs(2))
+zf = jax.random.normal(key, (2, 10, 4))
+qf, indf = fsq(zf)
+assert (fsq.indices_to_codes(indf) == qf).all(), 'fsq exact round-trip failed'
+
+lfq = LFQ(codebook_size=2**8, dim=8, rngs=nnx.Rngs(3))
+lfq.eval()
+zl = jax.random.normal(key, (2, 10, 8))
+ql, indl, el = lfq(zl)
+assert (lfq.indices_to_codes(indl) == ql).all(), 'lfq exact round-trip failed'
+print('residual/fsq/lfq round-trips ok')
+
+# ---- 6. pallas vs xla on device -------------------------------------------
+if mode == 'tpu':
+    from vqtpu.kernels import nearest_code, nearest_code_xla
+    k1, k2 = jax.random.split(key)
+    xx = jax.random.normal(k1, (4096, 256))
+    cb = jax.random.normal(k2, (512, 256))
+    ip = jax.jit(nearest_code)(xx, cb)
+    ix = jax.jit(nearest_code_xla)(xx, cb)
+    agree = float((ip == ix).mean())
+    print(f'pallas-vs-xla agreement: {agree:.5f}')
+    assert agree >= 0.999, agree
+
+print(f'VERIFY {mode.upper()} PASS')
+
+# ---- 7. checkpoint + metrics drive (added with the checkpoint subsystem) ---
+import tempfile, os as _os
+from vqtpu.utils import save_checkpoint, restore_checkpoint
+from vqtpu import codebook_perplexity, ema_perplexity
+
+with tempfile.TemporaryDirectory() as td:
+    p = _os.path.join(td, 'ckpt')
+    save_checkpoint(p, model)
+    model2 = Model(nnx.Rngs(999))
+    restore_checkpoint(p, model2)
+    model2.eval()
+    r1, i1, _ = model(x[:8] if x.ndim == 2 else x)
+    r2, i2, _ = model2(x[:8] if x.ndim == 2 else x)
+    assert (i1 == i2).all() and (r1 == r2).all()
+pplx = float(codebook_perplexity(i1, 64))
+epplx = float(ema_perplexity(model.vq._codebook.cluster_size[...])[0])
+print(f'checkpoint+metrics ok (batch pplx {pplx:.1f}, ema pplx {epplx:.1f})')
