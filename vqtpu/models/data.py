@@ -1,15 +1,42 @@
 """Example-training data pipeline.
 
-Tries to load FashionMNIST from a local torchvision cache (the examples in
-the reference train on FashionMNIST, examples/autoencoder.py:79-83); in
-zero-egress environments it falls back to a synthetic structured dataset
-(mixtures of oriented gaussian blobs) with the same shape/normalization, so
-every example script runs anywhere.
+Priority order:
+  1. native IDX loader (native/vqdata.c via ctypes): a local FashionMNIST/
+     MNIST `train-images-idx3-ubyte` is mmap'd and batches are gathered +
+     normalized in one C pass — the TPU-native runtime replacement for the
+     reference's torchvision dependency (examples/autoencoder.py:79-83);
+  2. a torchvision cache if present;
+  3. zero-egress fallback: a synthetic structured dataset (mixtures of
+     oriented gaussian blobs) with the same shape/normalization, so every
+     example script runs anywhere.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+_IDX_CANDIDATES = (
+    '~/data/fashion_mnist/FashionMNIST/raw/train-images-idx3-ubyte',
+    '~/data/FashionMNIST/raw/train-images-idx3-ubyte',
+    '/root/data/FashionMNIST/raw/train-images-idx3-ubyte',
+    '~/data/MNIST/raw/train-images-idx3-ubyte',
+)
+
+
+def _try_native_idx():
+    from . import native_data
+
+    for cand in _IDX_CANDIDATES:
+        path = os.path.expanduser(cand)
+        if not os.path.exists(path):
+            continue
+        try:
+            return native_data.IdxDataset(path)
+        except Exception:
+            continue
+    return None
 
 
 def _try_fashion_mnist():
@@ -63,12 +90,24 @@ def _synthetic_images(num: int = 8192, size: int = 28, seed: int = 0) -> np.ndar
 
 def image_batches(batch_size: int = 256, seed: int = 0, channel_last: bool = True):
     """Infinite iterator of (batch_size, 28, 28, 1) float32 batches in
-    [-1, 1]. FashionMNIST when locally available, synthetic otherwise."""
+    [-1, 1]. FashionMNIST when locally available (native IDX loader first),
+    synthetic otherwise."""
+    rng = np.random.default_rng(seed)
+
+    native = _try_native_idx()
+    if native is not None:
+        out = np.empty((batch_size, native.rows, native.cols), np.float32)
+        while True:
+            idx = rng.integers(0, native.count, batch_size)
+            batch = native.gather(idx, out)[..., None]   # (b, h, w, 1)
+            if not channel_last:
+                batch = np.moveaxis(batch, -1, 1)
+            yield batch
+
     data = _try_fashion_mnist()
     if data is None:
         data = _synthetic_images(seed=seed)
 
-    rng = np.random.default_rng(seed)
     n = data.shape[0]
     while True:
         idx = rng.integers(0, n, batch_size)
