@@ -59,7 +59,7 @@ def roofline_time(n: int, c: int, d: int, mxu_passes: int = 4) -> float:
     return max(compute_time, memory_time)
 
 
-def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 2, hi: int = 18) -> float:
+def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 4, hi: int = 52) -> float:
     """Per-iteration time via the slope between `lo` and `hi` chained
     iterations of the op inside one jitted fori_loop."""
     @functools.partial(jax.jit, static_argnums=2)
@@ -76,10 +76,10 @@ def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 2, hi: int = 18) -
     float(chained(x, embed, lo))     # compile both
     float(chained(x, embed, hi))
 
-    # median of 3 slopes: the tunnel adds run-to-run jitter of several %,
-    # and the driver records a single invocation
+    # median of 5 slopes over a wide lo->hi gap: the tunnel adds per-call
+    # jitter of hundreds of ms, and the driver records a single invocation
     slopes = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(chained(x, embed, lo))
         t_lo = time.perf_counter() - t0
@@ -87,7 +87,7 @@ def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 2, hi: int = 18) -
         float(chained(x, embed, hi))
         t_hi = time.perf_counter() - t0
         slopes.append((t_hi - t_lo) / (hi - lo))
-    return sorted(slopes)[1]
+    return sorted(slopes)[len(slopes) // 2]
 
 
 def main():
