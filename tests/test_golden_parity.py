@@ -699,3 +699,51 @@ def test_grouped_residual_lfq_parity():
     oq, oi, ol = og(jnp.asarray(x))
     assert (t2n(ri) == np.asarray(oi)).all()
     assert_close(t2n(rq), oq, atol=1e-5, what='grouped residual lfq')
+
+
+def test_lfq_masked_entropy_reference_bug_pinned():
+    """Upstream bug: with a mask, the reference boolean-indexes
+    original_input (already collapsing batch x tokens) and then rearranges
+    'b n ... -> (b n) ...', which merges the token and codebook axes — its
+    avg_prob reduce('... c d -> c d') then reduces NOTHING, so the masked
+    "codebook entropy" degenerates to the per-sample entropy (zero diversity
+    pressure). Ours computes the correct mask-weighted batch distribution.
+    Pin both behaviors."""
+    rl = ref.LFQ(codebook_size=2 ** 6, dim=6)
+    ol = vqtpu.LFQ(codebook_size=2 ** 6, dim=6, rngs=nnx.Rngs(0))
+    x = np.random.default_rng(70).standard_normal((2, 10, 6)).astype(np.float32)
+    mask = np.zeros((2, 10), bool)
+    mask[0, :4] = True
+    mask[1, :] = True
+    _, rbd = rl(torch.from_numpy(x), mask=torch.from_numpy(mask),
+                return_loss_breakdown=True)
+    out = ol(jnp.asarray(x), mask=jnp.asarray(mask),
+             return_loss_breakdown=True)
+    obd = out[-1]
+    # per-sample entropy agrees exactly
+    assert_close(float(rbd.per_sample_entropy), float(obd.per_sample_entropy),
+                 atol=1e-6, what='masked per-sample entropy')
+    # reference's batch entropy collapses to its per-sample entropy (bug)
+    assert abs(float(rbd.batch_entropy)
+               - float(rbd.per_sample_entropy)) < 1e-8
+    # ours is the true entropy of the masked-weighted code distribution
+    probs_valid = np.asarray(jax.nn.softmax(
+        2.0 * jnp.asarray(x[mask]) @ jnp.asarray(
+            np.array(rl.codebook.float().numpy())).T * 100.0, axis=-1))
+    avg = probs_valid.mean(0)
+    want = float(-(avg * np.log(np.maximum(avg, 1e-5))).sum())
+    assert_close(float(obd.batch_entropy), want, atol=1e-3,
+                 what='our masked batch entropy')
+
+
+def test_fsq_preserve_symmetry_parity():
+    levels = [2, 4, 4]
+    rf = ref.FSQ(levels=levels, preserve_symmetry=True)
+    of = vqtpu.FSQ(levels=levels, preserve_symmetry=True, rngs=nnx.Rngs(0))
+    rf.eval()
+    of.eval()
+    x = np.random.default_rng(71).standard_normal((2, 10, 3)).astype(np.float32)
+    rq, ri = rf(torch.from_numpy(x))
+    oq, oi = of(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-6, what='preserve_symmetry codes')
