@@ -322,3 +322,35 @@ def test_fsp_distributed_moments_match_single():
     ))(state, x)
     np.testing.assert_allclose(float(loss_single), float(loss_sharded),
                                rtol=2e-4)
+
+
+def test_sharded_training_is_deterministic():
+    """Two identical sharded training runs must produce bit-identical
+    codebook state (fixed psum reduction order + f32 accumulation — the
+    cross-host determinism requirement, SURVEY.md hard part 7)."""
+    def run():
+        mesh = make_mesh(('data',))
+        vq = VectorQuantize(
+            dim=16, codebook_size=16, decay=0.8, sync_axis='data',
+            kmeans_init=True, kmeans_iters=3, threshold_ema_dead_code=2,
+            rngs=nnx.Rngs(0),
+        )
+        graphdef, state = nnx.split(vq)
+
+        def body(state, batch):
+            m = nnx.merge(graphdef, state)
+            m(batch)
+            _, new_state = nnx.split(m)
+            return new_state
+
+        step = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P('data')), out_specs=P(),
+            check_vma=False,
+        ))
+        for i in range(3):
+            x = jax.random.normal(jax.random.PRNGKey(i), (16, 8, 16))
+            state = step(state, x)
+        return np.array(nnx.merge(graphdef, state).codebook)
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
