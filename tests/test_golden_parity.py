@@ -747,3 +747,28 @@ def test_fsq_preserve_symmetry_parity():
     oq, oi = of(jnp.asarray(x))
     assert (t2n(ri) == np.asarray(oi)).all()
     assert_close(t2n(rq), oq, atol=1e-6, what='preserve_symmetry codes')
+
+
+def test_residual_sim_vq_parity():
+    torch.manual_seed(80)
+    rr = ref.ResidualSimVQ(dim=16, num_quantizers=3, codebook_size=32)
+    oo = vqtpu.ResidualSimVQ(dim=16, num_quantizers=3, codebook_size=32,
+                             rngs=nnx.Rngs(0))
+    for i, layer in enumerate(rr.layers):
+        ol = oo.layers[i]
+        ol.frozen_codebook.value = jnp.asarray(t2n(layer.frozen_codebook))
+        _copy_linear_sim(layer.code_transform, ol.code_transform)
+    rr.eval()
+    oo.eval()
+    x = np.random.default_rng(81).standard_normal((2, 10, 16)).astype(np.float32)
+    rq, ri, rl = rr(torch.from_numpy(x))
+    oq, oi, ol_ = oo(jnp.asarray(x))
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(t2n(rq), oq, atol=1e-5, what='residual simvq quantized')
+
+
+def _copy_linear_sim(tlin, jlin):
+    jlin.kernel.value = jnp.asarray(t2n(tlin.weight).T)
+    if getattr(tlin, 'bias', None) is not None and getattr(
+            jlin, 'bias', None) is not None:
+        jlin.bias.value = jnp.asarray(t2n(tlin.bias))
