@@ -1,0 +1,38 @@
+"""Hot-path throughput across codebook/model shapes (eval select+lookup,
+exact pipeline), recorded in BASELINE.md. Run on the TPU backend."""
+import sys
+
+sys.path.insert(0, '/root/repo')
+
+import jax
+import jax.numpy as jnp
+
+from vqtpu.kernels.distance import quantize_lookup
+from vqtpu.utils import timeit_chained
+
+N = 1024 * 1024
+PEAK, HBM = 197e12, 819e9
+
+
+def floor_ms(c, d):
+    compute = 4 * 2 * N * c * d / PEAK
+    memory = (N * d * 4 * 2 + N * 4 + c * d * 4) / HBM
+    return max(compute, memory) * 1e3
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    print(f'{"c":>6} {"d":>5} {"ms":>8} {"Mtok/s":>8} {"floor ms":>9} {"%":>5}')
+    for c in (256, 512, 1024, 2048):
+        for d in (128, 256, 512):
+            x = jax.random.normal(key, (N, d), jnp.float32)
+            e = jax.random.normal(jax.random.PRNGKey(1), (c, d), jnp.float32)
+            t = timeit_chained(quantize_lookup, x, e, lo=2, hi=14,
+                               perturb_arg=1) * 1e3
+            f = floor_ms(c, d)
+            print(f'{c:>6} {d:>5} {t:>8.3f} {N/t/1e3:>8.0f} {f:>9.3f} '
+                  f'{f/t*100:>4.0f}%')
+
+
+if __name__ == '__main__':
+    main()
