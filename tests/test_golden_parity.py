@@ -772,3 +772,12 @@ def _copy_linear_sim(tlin, jlin):
     if getattr(tlin, 'bias', None) is not None and getattr(
             jlin, 'bias', None) is not None:
         jlin.bias.value = jnp.asarray(t2n(tlin.bias))
+
+
+def test_vq_commitment_cross_entropy_loss_parity():
+    rvq, ovq = make_pair(commitment_use_cross_entropy_loss=True)
+    x = np.random.default_rng(90).standard_normal((2, 12, 16)).astype(np.float32)
+    rq, ri, rl = rvq(torch.from_numpy(x), freeze_codebook=True)
+    oq, oi, ol = ovq(jnp.asarray(x), freeze_codebook=True)
+    assert (t2n(ri) == np.asarray(oi)).all()
+    assert_close(float(rl), float(ol), atol=1e-5, what='CE commitment loss')

@@ -343,3 +343,39 @@ def test_vq_channel_first_with_mask():
     qs, is_, _ = vq(x[:1, :, :6])
     assert jnp.allclose(qm[0, :, :6], qs[0], atol=1e-5)
     assert (im[0, :6] == is_[0]).all()
+
+
+def test_vq_layernorm_after_project_in():
+    vq = VectorQuantize(dim=32, codebook_size=16, codebook_dim=8,
+                        layernorm_after_project_in=True, rngs=nnx.Rngs(0))
+    assert vq.project_in_norm is not None
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32))
+    q, i, l = vq(x)
+    vq.eval()
+    q, i, _ = vq(x)
+    assert jnp.allclose(vq.get_output_from_indices(i), q, atol=1e-5)
+
+
+def test_vq_masked_padding_returns_orig_input():
+    vq = VectorQuantize(dim=8, codebook_size=16,
+                        return_zeros_for_masked_padding=False,
+                        rngs=nnx.Rngs(0)).eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+    mask = jnp.array([[True] * 6 + [False] * 4, [True] * 10])
+    q, i, l = vq(x, mask=mask)
+    assert jnp.allclose(q[0, 6:], x[0, 6:])     # original input, not zeros
+    assert (i[0, 6:] == -1).all()
+
+
+def test_vq_manual_inplace_optimizer_update():
+    vq = VectorQuantize(
+        dim=8, codebook_size=16, learnable_codebook=True, ema_update=False,
+        in_place_codebook_optimizer=optax.sgd(0.1),
+        manual_in_place_optimizer_update=True, rngs=nnx.Rngs(0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+    before = np.array(vq.codebook)
+    vq(x)                       # grads accumulate, no apply
+    assert np.allclose(before, np.array(vq.codebook))
+    vq.update_in_place_optimizer()
+    assert not np.allclose(before, np.array(vq.codebook))

@@ -265,8 +265,11 @@ class VectorQuantize(ModeModule):
         self.manual_in_place_optimizer_update = manual_in_place_optimizer_update
         if in_place_codebook_optimizer is not None and manual_in_place_optimizer_update:
             _, params, _ = nnx.split(self._codebook, nnx.Param, ...)
+            # store as a PURE dict inside the Variable: a Variable holding an
+            # nnx.State gets absorbed by the graph machinery and reads back
+            # as the State itself
             self._pending_inner_grads = nnx.Variable(
-                jax.tree.map(jnp.zeros_like, params)
+                jax.tree.map(jnp.zeros_like, nnx.to_pure_dict(params))
             )
         else:
             self._pending_inner_grads = None
@@ -458,12 +461,13 @@ class VectorQuantize(ModeModule):
             return
         if self._pending_inner_grads is None:
             return
-        grads = self._pending_inner_grads[...]
-        grads = collectives.pmean(grads, self.sync_axis)
+        pure = self._pending_inner_grads.get_value()
+        pure = collectives.pmean(pure, self.sync_axis)
+        grads = nnx.state(self._codebook, nnx.Param)
+        nnx.replace_by_pure_dict(grads, pure)
         self.in_place_codebook_optimizer.update(self._codebook, grads)
-        self._pending_inner_grads[...] = jax.tree.map(
-            jnp.zeros_like, self._pending_inner_grads[...]
-        )
+        self._pending_inner_grads.set_value(
+            jax.tree.map(jnp.zeros_like, pure))
 
     def _inner_codebook_step(self, x, mask, is_multiheaded, codebook_kwargs):
         """One explicit gradient step on the codebook params against
@@ -494,9 +498,10 @@ class VectorQuantize(ModeModule):
         loss, grads = jax.value_and_grad(loss_fn)(params)
 
         if self.manual_in_place_optimizer_update:
-            self._pending_inner_grads[...] = jax.tree.map(
-                jnp.add, self._pending_inner_grads[...], grads
-            )
+            self._pending_inner_grads.set_value(jax.tree.map(
+                jnp.add, self._pending_inner_grads.get_value(),
+                nnx.to_pure_dict(grads),
+            ))
         else:
             grads = collectives.pmean(grads, self.sync_axis)
             self.in_place_codebook_optimizer.update(self._codebook, grads)
