@@ -301,3 +301,22 @@ def test_sequential_routes_kwargs_to_quantizer():
 
     with pytest.raises(AssertionError):
         Sequential(Lin(4, 4, nnx.Rngs(0)))
+
+
+def test_eval_beam_with_qinco_round_trip():
+    # eval-mode beam + implicit neural codebook: the folded beam dim must
+    # not be double-counted against the QINCo transform (regression: the
+    # h-broadcast codebook reached the MLP and heads x batch exploded), and
+    # the topk gather must handle the beam dim (the reference's eval beam
+    # is broken upstream for both reasons)
+    rvq = ResidualVQ(dim=16, num_quantizers=3, codebook_size=24,
+                     implicit_neural_codebook=True, mlp_kwargs=dict(depth=1),
+                     beam_size=2, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16))
+    rvq(x)
+    rvq.eval()
+    q, i, l = rvq(x)
+    assert q.shape == x.shape and i.shape == (2, 12, 3)
+    assert jnp.isfinite(q).all()
+    dec = rvq.get_output_from_indices(i)
+    assert jnp.allclose(dec, q, atol=1e-4)

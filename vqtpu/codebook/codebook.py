@@ -552,8 +552,10 @@ class Codebook(ModeModule):
         # when the caller folds an extra leading dim into the head slot (e.g.
         # the beam-search path passes (b, n, k, d)), broadcast a single shared
         # codebook across it
-        if embed.shape[0] != h:
+        head_dim_is_fold = embed.shape[0] != h
+        if head_dim_is_fold:
             assert embed.shape[0] == 1
+            unbroadcast_embed = embed[0]                          # (c, d)
             embed = jnp.broadcast_to(embed, (h, *embed.shape[1:]))
 
         # --- distance + code selection ------------------------------------
@@ -581,8 +583,16 @@ class Codebook(ModeModule):
         else:
             if codebook_transform_fn is not None:
                 # implicit neural codebook (QINCo): per-token transformed
-                # codebook (reference vector_quantize_pytorch.py:729-738)
-                transformed = codebook_transform_fn(embed)        # (h, b, n, c, d)
+                # codebook (reference vector_quantize_pytorch.py:729-738).
+                # When the head slot is a folded batch/beam dim, the
+                # transform must see the ONE-headed codebook — its condition
+                # already carries the real batch, which aligns with the fold
+                # (transformed (b, n*, c, d) ≡ (h, N, c, d) here); passing
+                # the h-broadcast embed would double-count heads x batch.
+                if head_dim_is_fold:
+                    transformed = codebook_transform_fn(unbroadcast_embed)
+                else:
+                    transformed = codebook_transform_fn(embed)    # (h, b, n, c, d)
                 transformed = transformed.reshape(
                     h, -1, *transformed.shape[-2:]
                 )                                                 # (h, N, c, d)
@@ -630,6 +640,15 @@ class Codebook(ModeModule):
                     'h n ... c, h n c d -> h n ... d', embed_onehot, transformed_embed,
                     precision=jax.lax.Precision.HIGHEST,
                 )
+            elif topk is not None:
+                # eval beam: select k rows per token from the per-token
+                # transformed codebook (the reference's eval gather cannot
+                # handle the topk dim at all)
+                quantize_flat = jnp.take_along_axis(
+                    transformed_embed,                            # (h, N, c, d)
+                    embed_ind_flat[..., None],                    # (h, N, k, 1)
+                    axis=-2,
+                )                                                 # (h, N, k, d)
             else:
                 quantize_flat = jnp.take_along_axis(
                     transformed_embed,
