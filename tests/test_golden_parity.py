@@ -781,3 +781,14 @@ def test_vq_commitment_cross_entropy_loss_parity():
     oq, oi, ol = ovq(jnp.asarray(x), freeze_codebook=True)
     assert (t2n(ri) == np.asarray(oi)).all()
     assert_close(float(rl), float(ol), atol=1e-5, what='CE commitment loss')
+
+
+def test_multihead_residual_vq_rejected_in_both():
+    """Multi-headed ResidualVQ is unsupported upstream (residual_vq.py
+    asserts heads == 1) and vqtpu mirrors the restriction — pin both."""
+    kw = dict(dim=16, num_quantizers=2, codebook_size=16, heads=2,
+              codebook_dim=8, separate_codebook_per_head=True)
+    with pytest.raises(AssertionError, match='not compatible'):
+        ref.ResidualVQ(**kw)
+    with pytest.raises(AssertionError, match='not compatible'):
+        vqtpu.ResidualVQ(rngs=nnx.Rngs(0), **kw)
