@@ -221,3 +221,35 @@ def test_timeit_chained_measures_work():
         lambda a, b: ((a @ b) @ b) @ b, x, w, lo=2, hi=6)
     assert t_small > 0
     assert t_big > t_small  # 3x the matmuls must cost measurably more
+
+
+def test_nearest_code_tie_breaking_all_zero_input():
+    # all-zero tokens + duplicate codebook rows: every path must pick the
+    # LOWEST index (first-index tie-break, matching jnp.argmin)
+    x = jnp.zeros((16, 8))
+    e = jnp.zeros((12, 8))                       # all rows tie
+    assert (nearest_code_xla(x, e) == 0).all()
+    assert (nearest_code(x, e, interpret=True) == 0).all()
+
+    # duplicated row block: distances tie between i and i+6
+    e2 = jnp.concatenate([jnp.eye(6, 8), jnp.eye(6, 8)], axis=0)
+    xq = jnp.eye(6, 8)
+    assert (nearest_code_xla(xq, e2) == jnp.arange(6)).all()
+    assert (nearest_code(xq, e2, interpret=True) == jnp.arange(6)).all()
+
+
+def test_sharded_tie_breaking_lowest_global_index():
+    from jax.sharding import Mesh, PartitionSpec as P
+    from vqtpu.parallel.shard import make_mesh, sharded_nearest_code
+
+    # identical rows on EVERY shard: global winner must be index 0
+    mesh = make_mesh(('code',))
+    x = jnp.zeros((16, 8))
+    e = jnp.zeros((32, 8))
+
+    got = jax.jit(jax.shard_map(
+        lambda x, es: sharded_nearest_code(x, es, 'code'),
+        mesh=mesh, in_specs=(P(), P('code')), out_specs=P(),
+        check_vma=False,
+    ))(x, e)
+    assert (got == 0).all()
