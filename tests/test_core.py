@@ -253,3 +253,49 @@ def test_sharded_tie_breaking_lowest_global_index():
         check_vma=False,
     ))(x, e)
     assert (got == 0).all()
+
+
+def test_sequential_registry_covers_every_public_quantizer():
+    # every public quantizer class must be routable by vqtpu.Sequential
+    # (reference utils.py:20-36 QUANTIZE_KLASSES registry)
+    import vqtpu
+    from vqtpu.composite.sequential import QUANTIZE_KLASSES
+
+    # BinaryMapper consumes logits, not features, so it is not routable
+    # through Sequential — excluded upstream too (reference utils.py:20-36)
+    public = {n for n in vqtpu.__all__
+              if isinstance(getattr(vqtpu, n, None), type)
+              and n not in ('Sequential', 'LossBreakdown', 'BinaryMapper')}
+    registered = {k.__name__ for k in QUANTIZE_KLASSES}
+    missing = public - registered
+    assert not missing, f'quantizers missing from Sequential registry: {missing}'
+
+
+def test_vq_traced_equals_eager():
+    # the jitted train step must match the eager step bit-for-bit (catches
+    # python-side branching on traced values)
+    from flax import nnx
+    from vqtpu import VectorQuantize
+
+    def run(jit):
+        vq = VectorQuantize(dim=8, codebook_size=16, decay=0.8,
+                            threshold_ema_dead_code=2, rngs=nnx.Rngs(0))
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 8))
+
+        def fwd(vq, x):
+            return vq(x)
+
+        f = nnx.jit(fwd) if jit else fwd
+        outs = []
+        for i in range(3):
+            q, ind, loss = f(vq, x + i * 0.1)
+            outs.append((np.asarray(q), np.asarray(ind), float(loss)))
+        return outs, np.asarray(vq.codebook)
+
+    eager, cb_e = run(False)
+    traced, cb_t = run(True)
+    for (qe, ie, le), (qt, it, lt) in zip(eager, traced):
+        assert (ie == it).all()
+        np.testing.assert_allclose(qe, qt, atol=1e-6)
+        assert abs(le - lt) < 1e-6
+    np.testing.assert_allclose(cb_e, cb_t, atol=1e-6)
