@@ -142,3 +142,20 @@ def test_import_fsq_lfq_projections():
     rq, ri, _ = rl(torch.from_numpy(x))
     oq, oi, _ = ol(jnp.asarray(x))
     assert (np.array(ri.numpy()) == np.asarray(oi)).all()
+
+
+def test_import_qinco_residual_vq():
+    torch.manual_seed(7)
+    kw = dict(dim=8, num_quantizers=3, codebook_size=16,
+              implicit_neural_codebook=True, mlp_kwargs=dict(depth=2))
+    rr = ref.ResidualVQ(**kw)
+    oo = vqtpu.ResidualVQ(rngs=nnx.Rngs(11), **kw)
+    import_torch_state(oo, sd(rr))
+    rr.eval()
+    oo.eval()
+    x = np.random.default_rng(8).standard_normal((2, 6, 8)).astype(np.float32)
+    rq, ri, _ = rr(torch.from_numpy(x))
+    oq, oi, _ = oo(jnp.asarray(x))
+    assert (np.array(ri.numpy()) == np.asarray(oi)).all()
+    np.testing.assert_allclose(np.array(rq.detach().numpy()), np.asarray(oq),
+                               atol=1e-4)
