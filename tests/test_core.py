@@ -299,3 +299,23 @@ def test_vq_traced_equals_eager():
         np.testing.assert_allclose(qe, qt, atol=1e-6)
         assert abs(le - lt) < 1e-6
     np.testing.assert_allclose(cb_e, cb_t, atol=1e-6)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_nearest_code_random_shapes_property(seed):
+    # random (n, c, d) incl. non-multiples of 8/128: kernel (interpret) and
+    # XLA must agree exactly, and the quantize pipeline must round-trip
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 400))
+    c = int(rng.integers(2, 300))
+    d = int(rng.integers(1, 300))
+    x = jax.random.normal(jax.random.PRNGKey(seed), (n, d))
+    e = jax.random.normal(jax.random.PRNGKey(seed + 1000), (c, d))
+    want = nearest_code_xla(x, e)
+    got = nearest_code(x, e, interpret=True)
+    assert (want == got).all(), (n, c, d)
+
+    from vqtpu.kernels.distance import gather_codes
+    q = gather_codes(e, want)
+    assert q.shape == (n, d)
+    assert (q == jnp.take(e, want, axis=0)).all()
