@@ -20,10 +20,17 @@ from common import train_loop
 def main(train_iter=1000, lr=3e-4, dim=32, num_codes=256, seed=1234,
          alpha=10.0, batch_size=256):
     rngs = nnx.Rngs(seed)
-    bridge = MiniEncoder(dim=dim, depth=1, heads=4, rngs=rngs)
+    # inner width 256 over codebook dim 32 + register tokens: the
+    # hyperparameters the reference example found critical
+    bridge = MiniEncoder(dim=256, input_dim=dim, depth=1, heads=4,
+                         rngs=rngs)
+    # rotation_trick=False matches the reference FVQ config
+    # (examples/autoencoder_fvq.py:118): with the rotation trick the task
+    # gradients bypass the bridge entirely and the codebook collapses
     quantizer = VectorQuantize(
         dim=dim, codebook_size=num_codes,
         vq_bridge=bridge, learnable_codebook=True, ema_update=False,
+        rotation_trick=False,
         in_place_codebook_optimizer=optax.sgd(1e-3), rngs=rngs,
     )
     model = SimpleQuantizeAutoEncoder(quantizer, dim=dim, rngs=rngs)

@@ -40,9 +40,14 @@ class MiniEncoder(ModeModule):
         depth: int = 1,
         heads: int = 4,
         num_memory_tokens: int = 2,
+        input_dim: int | None = None,
         *,
         rngs: nnx.Rngs,
     ):
+        """`input_dim` != dim adds bias-free in/out projections so the
+        transformer can run at a wider inner width than the codebook dim —
+        the configuration the reference's FVQ example found critical
+        (examples/autoencoder_fvq.py:40-82: vq_dim 256 over input_dim 32)."""
         self.memory_tokens = nnx.Param(
             jax.random.normal(rngs.params(), (num_memory_tokens, dim)) * 0.02
         )
@@ -50,12 +55,21 @@ class MiniEncoder(ModeModule):
             EncoderBlock(dim, heads, rngs=rngs) for _ in range(depth)
         ])
         self.num_memory_tokens = num_memory_tokens
+        if input_dim is not None and input_dim != dim:
+            self.proj_in = nnx.Linear(input_dim, dim, use_bias=False, rngs=rngs)
+            self.proj_out = nnx.Linear(dim, input_dim, use_bias=False, rngs=rngs)
+        else:
+            self.proj_in = None
+            self.proj_out = None
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """x: (..., n, d) -> (..., n, d)."""
         lead = x.shape[:-2]
-        n, d = x.shape[-2:]
-        x = x.reshape(-1, n, d)
+        n, d_in = x.shape[-2:]
+        x = x.reshape(-1, n, d_in)
+        if self.proj_in is not None:
+            x = self.proj_in(x)
+        d = x.shape[-1]
         mem = jnp.broadcast_to(
             self.memory_tokens[...][None],
             (x.shape[0], self.num_memory_tokens, d),
@@ -64,4 +78,6 @@ class MiniEncoder(ModeModule):
         for block in self.blocks:
             x = block(x)
         x = x[:, self.num_memory_tokens:]
-        return x.reshape(*lead, n, d)
+        if self.proj_out is not None:
+            x = self.proj_out(x)
+        return x.reshape(*lead, n, -1)
