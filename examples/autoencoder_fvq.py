@@ -1,6 +1,14 @@
 """FVQ autoencoder example (reference examples/autoencoder_fvq.py): the
 codebook is realized through a small transformer bridge (vq_bridge) and
-trained with an in-place SGD codebook optimizer."""
+trained with an in-place SGD codebook optimizer.
+
+Note: EMA-free learnable codebooks behind a bridge are prone to
+winner-take-all utilization collapse on easy data — the reference's
+FVQ needed a hyperparameter hunt on FashionMNIST (upstream issue
+#239). The bridge MATH is golden-parity tested; if utilization
+collapses on your data, add codebook_diversity_loss_weight or a
+threshold_ema_dead_code equivalent.
+"""
 
 import os as _os
 import sys as _sys
