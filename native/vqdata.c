@@ -49,8 +49,17 @@ vq_idx *vq_idx_open(const char *path) {
     int64_t count = (int64_t)be32(p + 4);
     int64_t rows = (int64_t)be32(p + 8);
     int64_t cols = (int64_t)be32(p + 12);
+    /* the three fields are untrusted 32-bit values: bound them individually
+     * and check the products with overflow-aware multiplies, otherwise a
+     * crafted header can overflow int64 and bypass the file-size check
+     * (out-of-bounds reads in vq_idx_gather_f32) */
+    int64_t px, total;
     if (count <= 0 || rows <= 0 || cols <= 0 ||
-        (int64_t)st.st_size < 16 + count * rows * cols) {
+        rows > (1 << 16) || cols > (1 << 16) ||
+        __builtin_mul_overflow(rows, cols, &px) ||
+        __builtin_mul_overflow(count, px, &total) ||
+        total > INT64_MAX - 16 ||
+        (int64_t)st.st_size < 16 + total) {
         munmap(map, (size_t)st.st_size);
         return NULL;
     }

@@ -96,8 +96,11 @@ def image_batches(batch_size: int = 256, seed: int = 0, channel_last: bool = Tru
 
     native = _try_native_idx()
     if native is not None:
-        out = np.empty((batch_size, native.rows, native.cols), np.float32)
         while True:
+            # fresh buffer per batch: JAX dispatch is async and jnp.asarray can
+            # be zero-copy on CPU, so reusing one buffer would let the next
+            # gather() overwrite data a still-in-flight step is reading
+            out = np.empty((batch_size, native.rows, native.cols), np.float32)
             idx = rng.integers(0, native.count, batch_size)
             batch = native.gather(idx, out)[..., None]   # (b, h, w, 1)
             if not channel_last:
