@@ -104,6 +104,13 @@ def main():
     dt = chained_seconds_per_iter(quantize_lookup, x, embed)
     vectors_per_sec = n / dt
 
+    # the bf16 serving/training tier: 2 MXU passes, exact w.r.t. bf16 values
+    # (kernels.distance.quantize_lookup tier='bf16'; parity test in
+    # tests/test_core.py::test_bf16_tier_exact_on_bf16_inputs)
+    dt_bf16 = chained_seconds_per_iter(
+        functools.partial(quantize_lookup, tier='bf16'), x, embed
+    )
+
     if on_tpu:
         t_roof = roofline_time(n, c, d)
         vs_baseline = t_roof / dt
@@ -116,13 +123,16 @@ def main():
         'value': round(vectors_per_sec, 1),
         'unit': 'vectors/s',
         'vs_baseline': round(vs_baseline, 4),
+        'bf16_tier_vectors_per_sec': round(n / dt_bf16, 1),
+        'bf16_tier_speedup': round(dt / dt_bf16, 2),
     }))
 
     print(
         f'# backend={jax.default_backend()} n={n} c={c} d={d} '
-        f'step={dt * 1e3:.3f}ms'
+        f'step={dt * 1e3:.3f}ms bf16_tier={dt_bf16 * 1e3:.3f}ms'
         + (f' roofline_step={t_roof * 1e3:.3f}ms '
-           f'({vs_baseline * 100:.1f}% of speed-of-light)'
+           f'({vs_baseline * 100:.1f}% of speed-of-light; bf16 tier '
+           f'{dt / dt_bf16:.2f}x the exact path)'
            if t_roof else ''),
         file=sys.stderr,
     )

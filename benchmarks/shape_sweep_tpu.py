@@ -15,7 +15,15 @@ PEAK, HBM = 197e12, 819e9
 
 
 def floor_ms(c, d):
-    compute = 4 * 2 * N * c * d / PEAK
+    """Structural floor of the exact pipeline: selection is 1 MXU pass; the
+    lookup is whichever exact formulation is cheaper — the 3-pass one-hot
+    matmul (linear in c) or the memory-floor row gather (flat in c). Round 1
+    assumed 4 MXU passes everywhere, which stops being a floor once take
+    wins (c > ~512)."""
+    select = 2 * N * c * d / PEAK
+    lookup_onehot = 3 * 2 * N * c * d / PEAK
+    lookup_gather = (N * d * 4 * 2 + N * 4) / HBM
+    compute = select + min(lookup_onehot, lookup_gather)
     memory = (N * d * 4 * 2 + N * 4 + c * d * 4) / HBM
     return max(compute, memory) * 1e3
 

@@ -45,10 +45,14 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--train_iter', type=int, default=1000)
     p.add_argument('--batch_size', type=int, default=256)
+    p.add_argument('--dim', type=int, default=32)
+    p.add_argument('--num_codes', type=int, default=256)
+    p.add_argument('--seed', type=int, default=1234)
     p.add_argument('--straight_through', action='store_true')
     p.add_argument('--directional_reparam', action='store_true')
     a = p.parse_args()
     main(train_iter=a.train_iter, batch_size=a.batch_size,
+         dim=a.dim, num_codes=a.num_codes, seed=a.seed,
          rotation_trick=not (a.straight_through or a.directional_reparam),
          straight_through=a.straight_through,
          directional_reparam=a.directional_reparam)

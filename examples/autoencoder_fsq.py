@@ -36,5 +36,7 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--train_iter', type=int, default=1000)
     p.add_argument('--batch_size', type=int, default=256)
+    p.add_argument('--levels', type=int, nargs='+', default=[8, 6, 5])
     a = p.parse_args()
-    main(train_iter=a.train_iter, batch_size=a.batch_size)
+    main(train_iter=a.train_iter, batch_size=a.batch_size,
+         levels=tuple(a.levels))

@@ -40,5 +40,7 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--train_iter', type=int, default=1000)
     p.add_argument('--batch_size', type=int, default=256)
+    p.add_argument('--num_codes', type=int, default=256)
     a = p.parse_args()
-    main(train_iter=a.train_iter, batch_size=a.batch_size)
+    main(train_iter=a.train_iter, batch_size=a.batch_size,
+         num_codes=a.num_codes)

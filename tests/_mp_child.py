@@ -1,0 +1,87 @@
+"""Child program for tests/test_multiprocess.py: one process of a
+2-process x 4-device CPU job running the data-parallel VQ train step.
+
+Prints one JSON line: {"process_id", "losses", "codebook_b64"} where
+codebook_b64 is the raw f32 bytes of this process's view of the (replicated)
+codebook after training — the parent asserts the processes agree
+bit-identically and match a single-process run.
+
+Run (from the parent): python tests/_mp_child.py <proc_id> <nproc> <port>
+With nproc=1 it runs the identical job single-process (8 local devices).
+"""
+
+import base64
+import json
+import sys
+
+
+def main():
+    proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+    local_devices = 8 // nproc
+    jax.config.update('jax_num_cpu_devices', local_devices)
+
+    sys.path.insert(0, '/root/repo')
+    from vqtpu.parallel import init_multihost
+
+    if nproc > 1:
+        init_multihost(
+            coordinator_address=f'127.0.0.1:{port}',
+            num_processes=nproc,
+            process_id=proc_id,
+        )
+        assert jax.process_count() == nproc
+        assert len(jax.devices()) == 8
+
+    import numpy as np
+    import optax
+    from flax import nnx
+
+    from vqtpu import VectorQuantize
+    from vqtpu.parallel import DataParallelTrainer, global_batch, make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    class Model(nnx.Module):
+        def __init__(self, rngs):
+            self.enc = nnx.Linear(8, 16, rngs=rngs)
+            self.vq = VectorQuantize(
+                dim=16, codebook_size=32, sync_axis='data',
+                kmeans_init=True, kmeans_iters=3,
+                threshold_ema_dead_code=0.5, rngs=rngs,
+            )
+            self.dec = nnx.Linear(16, 8, rngs=rngs)
+
+        def __call__(self, x):
+            q, _, commit = self.vq(self.enc(x))
+            return self.dec(q), commit
+
+    def loss_fn(model, batch):
+        out, commit = model(batch)
+        return ((out - batch) ** 2).mean() + commit
+
+    mesh = make_mesh(('data',))
+    model = Model(nnx.Rngs(0))
+    trainer = DataParallelTrainer(model, optax.adam(1e-2), loss_fn, mesh)
+
+    losses = []
+    for step in range(3):
+        # shared-seed global batch; each process contributes its local shards
+        full = np.random.RandomState(100 + step).randn(32, 4, 8).astype('float32')
+        batch = global_batch(mesh, P('data'), full)
+        losses.append(float(trainer.step(batch)))
+
+    embed = model.vq._codebook.embed[...]
+    local = np.asarray(embed.addressable_shards[0].data)
+    print(json.dumps({
+        'process_id': proc_id,
+        'losses': losses,
+        'codebook_b64': base64.b64encode(local.tobytes()).decode(),
+        'shape': list(local.shape),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -319,3 +319,55 @@ def test_nearest_code_random_shapes_property(seed):
     q = gather_codes(e, want)
     assert q.shape == (n, d)
     assert (q == jnp.take(e, want, axis=0)).all()
+
+
+def test_bf16_tier_exact_on_bf16_inputs():
+    """The bf16 serving tier (quantize_lookup tier='bf16') must be EXACT
+    with respect to the bf16-cast values: returned rows are bit-equal to the
+    bf16 codebook rows at the returned indices, and the indices agree with a
+    f32 argmin oracle over the same bf16 values except at provable
+    near-ties."""
+    from vqtpu.kernels.distance import quantize_lookup
+
+    n, c, d = 4096, 512, 64
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+    e = jax.random.normal(jax.random.PRNGKey(1), (c, d))
+
+    idx, q = quantize_lookup(x, e, tier='bf16')
+    eb = e.astype(jnp.bfloat16)
+
+    # lookup exactness: rows ARE the bf16 codebook rows
+    assert (np.asarray(q) == np.asarray(jnp.take(eb, idx, axis=0))).all()
+
+    # selection oracle on the same bf16 values, f32 math
+    xf = x.astype(jnp.bfloat16).astype(jnp.float32)
+    ef = eb.astype(jnp.float32)
+    oracle = nearest_code_xla(xf, ef)
+    agree = np.asarray(idx == oracle)
+    if not agree.all():
+        # disagreements must be floating-point near-ties, not real misses
+        d2 = np.asarray(U.cdist_sq(xf, ef))
+        picked = d2[np.arange(n), np.asarray(idx)]
+        best = d2[np.arange(n), np.asarray(oracle)]
+        gap = np.abs(picked - best)[~agree]
+        assert agree.mean() > 0.999, agree.mean()
+        assert (gap <= 1e-3 * np.abs(best[~agree]).max()).all(), gap.max()
+
+
+@pytest.mark.parametrize('metric', ('euclidean', 'cosine'))
+def test_tiled_selection_kernel_matches_xla(metric):
+    """The tiled-codebook selection kernel (codebook streamed through VMEM,
+    running argmax carry in scratch — the path for codebooks beyond the
+    resident-VMEM budget) must agree exactly with the XLA argmin, including
+    non-multiple shapes and padded tiles."""
+    from vqtpu.kernels.distance import _nearest_code_tiled
+
+    n, c, d = 1000, 5000, 130
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+    e = jax.random.normal(jax.random.PRNGKey(1), (c, d))
+    if metric == 'cosine':
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+    want = nearest_code_xla(x, e, metric)
+    got = _nearest_code_tiled(x, e, metric, interpret=True)
+    assert (want == got).all()

@@ -1,0 +1,184 @@
+"""Tensor-parallel (row-sharded) codebooks as a first-class module feature:
+`VectorQuantize(code_axis='code')` inside a shard_map must reproduce the
+unsharded engine (indices bit-identical; EMA state to float tolerance) for
+the FULL feature set — kmeans init, dead-code expiry, affine stats, cosine,
+stochastic sampling — and train end-to-end on a 2D (data, code) mesh.
+
+The reference has no tensor parallelism at all (it replicates the codebook
+per rank, vector_quantize_pytorch.py:603-607); this is the north-star
+extension (SURVEY.md §2 TP row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vqtpu import VectorQuantize
+from vqtpu.parallel import (
+    TensorParallelTrainer,
+    codebook_pspecs,
+    make_mesh,
+    tp_apply,
+)
+
+
+def _code_mesh():
+    return Mesh(np.array(jax.devices()).reshape(8), ('code',))
+
+
+def _run_unsharded(x, steps, **kw):
+    vq = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0), **kw)
+    outs = [vq(x[i]) for i in range(steps)]
+    return vq, outs
+
+
+def _run_sharded(x, steps, **kw):
+    mesh = _code_mesh()
+    vq = VectorQuantize(
+        dim=32, codebook_size=64, code_axis='code', rngs=nnx.Rngs(0), **kw
+    )
+    graphdef, state = nnx.split(vq)
+    specs = codebook_pspecs(state, vq)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, loss = m(batch)
+        _, new_state = nnx.split(m)
+        return new_state, q, ind, loss
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(specs, P(), P(), P()), check_vma=False,
+    ))
+    outs = []
+    for i in range(steps):
+        state, q, ind, loss = step(state, x[i])
+        outs.append((q, ind, loss))
+    return nnx.merge(graphdef, state), outs
+
+
+@pytest.mark.parametrize('kw', [
+    {},                                             # plain EMA
+    {'kmeans_init': True, 'kmeans_iters': 4},       # sharded Lloyd init
+    {'threshold_ema_dead_code': 1.0},               # sharded expiry sampling
+    {'affine_param': True},                         # cross-shard moments
+    {'use_cosine_sim': True},
+    {'stochastic_sample_codes': True,               # dist-materializing path
+     'sample_codebook_temp': 0.0},
+], ids=['ema', 'kmeans', 'expiry', 'affine', 'cosine', 'dist-path'])
+def test_code_sharded_matches_unsharded(kw):
+    """8-way row-sharded forward+EMA vs the unsharded engine over 3 training
+    steps: indices bit-identical, quantize/losses/state to float tolerance."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 8, 32))
+    ref, outs_ref = _run_unsharded(x, 3, **kw)
+    tp, outs_tp = _run_sharded(x, 3, **kw)
+
+    for i, ((qr, ir, lr), (qt, it, lt)) in enumerate(zip(outs_ref, outs_tp)):
+        assert (np.asarray(ir) == np.asarray(it)).all(), f'step {i} indices'
+        np.testing.assert_allclose(
+            np.asarray(qr), np.asarray(qt), atol=2e-6,
+            err_msg=f'step {i} quantize')
+        np.testing.assert_allclose(float(lr), float(lt), atol=1e-6)
+
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.embed[...]),
+        np.asarray(tp._codebook.embed[...]), atol=2e-6, err_msg='embed')
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.cluster_size[...]),
+        np.asarray(tp._codebook.cluster_size[...]), atol=1e-5)
+
+
+def test_code_sharded_multihead():
+    """Separate codebook per head with sharded rows."""
+    kw = dict(heads=2, separate_codebook_per_head=True, codebook_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 6, 32))
+    ref, outs_ref = _run_unsharded(x, 2, **kw)
+    tp, outs_tp = _run_sharded(x, 2, **kw)
+    for (qr, ir, _), (qt, it, _) in zip(outs_ref, outs_tp):
+        assert (np.asarray(ir) == np.asarray(it)).all()
+        np.testing.assert_allclose(np.asarray(qr), np.asarray(qt), atol=2e-6)
+
+
+class _AEModel(nnx.Module):
+    def __init__(self, rngs, **vq_kw):
+        self.enc = nnx.Linear(8, 32, rngs=rngs)
+        self.vq = VectorQuantize(dim=32, codebook_size=256, rngs=rngs, **vq_kw)
+        self.dec = nnx.Linear(32, 8, rngs=rngs)
+
+    def __call__(self, x):
+        z = self.enc(x)
+        q, ind, commit = self.vq(z)
+        return self.dec(q), ind, commit
+
+
+def _ae_loss(model, batch):
+    out, _, commit = model(batch)
+    return ((out - batch) ** 2).mean() + commit
+
+
+def test_tp_trainer_2d_mesh_converges_and_stays_replicated():
+    """Full training on a 2D (data, code) mesh: kmeans init + expiry + EMA on
+    sharded rows, batch sharded over data. Loss must drop and the state must
+    stay consistent (out_specs assert the sharding layout each step)."""
+    mesh = make_mesh(('data', 'code'), shape=(2, 4))
+    model = _AEModel(
+        nnx.Rngs(0), sync_axis='data', code_axis='code',
+        kmeans_init=True, threshold_ema_dead_code=0.5,
+    )
+    trainer = TensorParallelTrainer(model, optax.adam(1e-2), _ae_loss, mesh)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 8))
+    losses = [float(trainer.step(x)) for _ in range(15)]
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert bool(model.vq._codebook.initted[...])
+
+
+def test_tp_trainer_learnable_codebook():
+    """Learnable (gradient-trained) codebook rows sharded over the code axis:
+    the optimizer momenta inherit the sharding through codebook_pspecs (their
+    state paths contain the codebook path)."""
+    mesh = make_mesh(('data', 'code'), shape=(2, 4))
+    model = _AEModel(
+        nnx.Rngs(0), sync_axis='data', code_axis='code',
+        learnable_codebook=True, ema_update=False,
+    )
+    before = np.asarray(model.vq._codebook.embed[...]).copy()
+    trainer = TensorParallelTrainer(model, optax.adam(1e-2), _ae_loss, mesh)
+
+    # the spec tree must shard the embed Param AND its adam mu/nu momenta
+    sharded_leaves = [
+        s for s in jax.tree.leaves(
+            trainer._state_specs,
+            is_leaf=lambda s: isinstance(s, P),
+        ) if any(ax == 'code' for ax in s)
+    ]
+    assert len(sharded_leaves) >= 7, sharded_leaves  # 5 state + 2 momenta
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 8))
+    losses = [float(trainer.step(x)) for _ in range(10)]
+    assert losses[-1] < losses[0]
+    after = np.asarray(model.vq._codebook.embed[...])
+    assert not np.allclose(before, after), 'sharded codebook rows must train'
+
+
+def test_tp_decode_round_trip():
+    """Eval forward and indices->output decode against sharded rows via
+    tp_apply: quantized == get_output_from_indices(indices)."""
+    mesh = make_mesh(('data', 'code'), shape=(2, 4))
+    model = _AEModel(nnx.Rngs(0), sync_axis='data', code_axis='code')
+    model.vq.eval()
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 8))
+    z = model.enc(x)
+
+    def fwd(m, z):
+        q, ind, _ = m.vq(z)
+        return q, ind, m.vq.get_output_from_indices(ind)
+
+    q, ind, dec = tp_apply(
+        model, mesh, fwd, z, in_specs=P('data'),
+        out_specs=(P('data'), P('data'), P('data')),
+    )
+    np.testing.assert_allclose(np.asarray(q), np.asarray(dec), atol=1e-5)
+    assert int(np.asarray(ind).max()) < 256

@@ -115,9 +115,14 @@ ql, indl, el = lfq(zl)
 assert (lfq.indices_to_codes(indl) == ql).all(), 'lfq exact round-trip failed'
 print('residual/fsq/lfq round-trips ok')
 
-# ---- 6. pallas vs xla on device -------------------------------------------
+# ---- 6. kernel exactness on device ----------------------------------------
+# (VERDICT r1 #7: prove kernel correctness on real hardware each round, not
+# just in CPU interpreter mode)
 if mode == 'tpu':
     from vqtpu.kernels import nearest_code, nearest_code_xla
+    from vqtpu.kernels.distance import (
+        _nearest_code_tiled, gather_codes, quantize_lookup,
+    )
     k1, k2 = jax.random.split(key)
     xx = jax.random.normal(k1, (4096, 256))
     cb = jax.random.normal(k2, (512, 256))
@@ -126,6 +131,24 @@ if mode == 'tpu':
     agree = float((ip == ix).mean())
     print(f'pallas-vs-xla agreement: {agree:.5f}')
     assert agree >= 0.999, agree
+
+    # tiled-codebook kernel (c beyond resident VMEM) on real silicon
+    cb_big = jax.random.normal(k2, (16384, 256))
+    it = jax.jit(lambda a, b: _nearest_code_tiled(a, b, 'euclidean'))(xx, cb_big)
+    ixb = jax.jit(nearest_code_xla)(xx, cb_big)
+    agree_t = float((it == ixb).mean())
+    print(f'tiled-pallas-vs-xla agreement (c=16384): {agree_t:.5f}')
+    assert agree_t >= 0.999, agree_t
+
+    # exact one-hot lookup == take, on device
+    g1 = jax.jit(gather_codes)(cb, ip)
+    g2 = jnp.take(cb, ip, axis=0)
+    assert (g1 == g2).all(), 'gather_codes not bit-exact on device'
+
+    # bf16 tier: rows must be exactly the bf16 codebook rows
+    idx_b, q_b = jax.jit(lambda a, b: quantize_lookup(a, b, tier='bf16'))(xx, cb)
+    assert (q_b == jnp.take(cb.astype(jnp.bfloat16), idx_b, axis=0)).all()
+    print('on-device gather exactness + bf16 tier ok')
 
 print(f'VERIFY {mode.upper()} PASS')
 

@@ -29,10 +29,15 @@ from ..core.utils import (
     pack_tokens,
     uniform_init,
 )
-from ..core.sampling import gumbel_sample, masked_sample_vectors
+from ..core.sampling import gumbel_sample, masked_sample_vectors, masked_sample_indices
 from ..core import utils as U
 from ..kernels.distance import nearest_code, gather_codes
 from ..parallel import collectives
+from ..parallel.shard import (
+    local_onehot_from_global,
+    sharded_gather_codes,
+    sharded_nearest_code,
+)
 from .kmeans import kmeans
 from ..core.module import ModeModule
 
@@ -97,6 +102,7 @@ class Codebook(ModeModule):
         vq_bridge: nnx.Module | Callable | None = None,
         use_pallas: bool = True,
         stat_precision=jax.lax.Precision.HIGHEST,
+        code_axis: str | None = None,
         rngs: nnx.Rngs,
     ):
         self.dim = dim
@@ -114,6 +120,20 @@ class Codebook(ModeModule):
         self.sync_axis = sync_axis
         self.learnable_codebook = learnable_codebook
         self.use_pallas = use_pallas
+
+        # Tensor-parallel (row-sharded) codebook support. The module at rest
+        # holds the FULL logical codebook (so construction, checkpointing and
+        # out-of-mesh decode are unchanged); inside a shard_map that binds
+        # `code_axis` with the codebook leaves sharded over it (see
+        # vqtpu.parallel.tp), every method transparently operates on its
+        # local rows with psum/all_gather collectives over the axis. This is
+        # the north-star extension beyond the reference's replicate-
+        # everything design (vector_quantize_pytorch.py:603-607).
+        assert not (code_axis is not None and vq_bridge is not None), (
+            'vq_bridge transforms the whole codebook jointly (attention '
+            'across codes) and cannot run on row-sharded state'
+        )
+        self.code_axis = code_axis
         # precision of the matmuls feeding persistent EMA state. HIGHEST is
         # bit-exact on TPU (one-hot operand; 3 bf16 passes) and the default;
         # DEFAULT trades ~25% training-forward time for bf16-rounded stats
@@ -185,6 +205,18 @@ class Codebook(ModeModule):
         e = self.embed[...]
         return e if self.learnable_codebook else sg(e)
 
+    # -- tensor-parallel (row-sharded) helpers ---------------------------------
+
+    def _code_parallel(self) -> bool:
+        """True iff this trace is inside a mesh region binding `code_axis`
+        (the codebook leaves then hold the LOCAL row shard)."""
+        return collectives.axis_is_bound(self.code_axis)
+
+    def _code_row0(self) -> jax.Array:
+        """Global row offset of this shard's first codebook row."""
+        c_local = self.embed[...].shape[1]
+        return jax.lax.axis_index(self.code_axis) * c_local
+
     # -- kmeans init -------------------------------------------------------------
 
     def init_embed_(self, flatten: jax.Array, mask: jax.Array | None = None):
@@ -192,6 +224,7 @@ class Codebook(ModeModule):
         (reference vector_quantize_pytorch.py:450-473)."""
         key = self.rngs.kmeans()
         sync = self.sync_axis if self.sync_kmeans else None
+        code_axis = self.code_axis if self._code_parallel() else None
 
         def do_init(_):
             embed, cluster_size = kmeans(
@@ -202,6 +235,7 @@ class Codebook(ModeModule):
                 use_cosine_sim=self.use_cosine_sim,
                 mask=mask,
                 sync_axis=sync,
+                code_axis=code_axis,
             )
             embed_sum = embed * cluster_size[..., None]
             new_embed = self._normalized_embed(embed_sum, cluster_size)
@@ -247,8 +281,21 @@ class Codebook(ModeModule):
         embed = embed.reshape(embed.shape[0], -1, embed.shape[-1])
 
         if self.training:
-            c_mean = embed.mean(axis=-2, keepdims=True)
-            c_var = embed.var(axis=-2, keepdims=True)
+            if self._code_parallel():
+                # per-dim moments over the GLOBAL rows: psum local partial
+                # sums over the code axis, divide by the global count (the
+                # affine stat state stays replicated across code shards)
+                c_global = float(self.codebook_size)
+                c_mean = collectives.psum(
+                    embed.sum(axis=-2, keepdims=True), self.code_axis
+                ) / c_global
+                c_var = collectives.psum(
+                    ((embed - c_mean) ** 2).sum(axis=-2, keepdims=True),
+                    self.code_axis,
+                ) / c_global
+            else:
+                c_mean = embed.mean(axis=-2, keepdims=True)
+                c_var = embed.var(axis=-2, keepdims=True)
             self._update_with_decay('codebook_mean', c_mean, self.affine_param_codebook_decay)
             self._update_with_decay('codebook_variance', c_var, self.affine_param_codebook_decay)
 
@@ -290,9 +337,15 @@ class Codebook(ModeModule):
     # -- EMA update machinery --------------------------------------------------
 
     def _normalized_embed(self, embed_avg: jax.Array, cluster_size: jax.Array) -> jax.Array:
-        smoothed = laplace_smoothing(
-            cluster_size, self.codebook_size, self.eps
-        ) * cluster_size.sum(axis=-1, keepdims=True)
+        # inline laplace smoothing (core.utils.laplace_smoothing) so the
+        # total cluster mass can be the GLOBAL one when the rows are sharded:
+        # the denominator must match the unsharded engine exactly
+        total = cluster_size.sum(axis=-1, keepdims=True)
+        if self._code_parallel():
+            total = collectives.psum(total, self.code_axis)
+        smoothed = (
+            (cluster_size + self.eps) / (total + self.codebook_size * self.eps)
+        ) * total
         embed_normalized = embed_avg / smoothed[..., None]
         if self.use_cosine_sim:
             embed_normalized = l2norm(embed_normalized)
@@ -380,8 +433,34 @@ class Codebook(ModeModule):
         key = self.rngs.expire()
         h = batch_samples.shape[0]
         keys = jax.random.split(key, h)
+        code_parallel = self._code_parallel()
 
         def per_head(k, samples, m):
+            n = samples.shape[0]
+            if code_parallel:
+                # row-sharded codebook: draw the GLOBAL index vector with the
+                # shared key (cheap — c ints), then take only this shard's
+                # slot window, never materializing (c, d) candidates. Under
+                # data parallelism each slot additionally picks a uniform
+                # source replica (rank-select psum) — same distribution as
+                # the unsharded pooled draw, O(c_local * d) per shard.
+                c_local = self.embed[...].shape[1]
+                row0 = jax.lax.axis_index(self.code_axis) * c_local
+                idx = masked_sample_indices(k, n, m, self.codebook_size)
+                my_idx = jax.lax.dynamic_slice_in_dim(idx, row0, c_local)
+                cand = jnp.take(samples, my_idx, axis=0)
+                if self.sync_axis is not None:
+                    world = jax.lax.axis_size(self.sync_axis)
+                    my_rank = jax.lax.axis_index(self.sync_axis)
+                    src = jax.random.randint(
+                        jax.random.fold_in(k, 1), (self.codebook_size,), 0, world
+                    )
+                    my_src = jax.lax.dynamic_slice_in_dim(src, row0, c_local)
+                    cand = collectives.psum(
+                        jnp.where((my_src == my_rank)[:, None], cand, 0.0),
+                        self.sync_axis,
+                    )
+                return cand
             local = masked_sample_vectors(k, samples, m, self.codebook_size)
             pooled = collectives.all_gather(local, self.sync_axis)
             if self.sync_axis is not None:
@@ -392,6 +471,14 @@ class Codebook(ModeModule):
         if seq_mask is not None:
             sampled = jax.vmap(per_head)(keys, batch_samples, seq_mask)
             has_valid = seq_mask.any(axis=-1)[:, None]             # (h, 1)
+            if self.sync_axis is not None:
+                # a head is skippable only if NO replica has a valid token —
+                # otherwise data-parallel replicas would diverge on whether
+                # they replaced the row
+                has_valid = (
+                    collectives.psum(has_valid.astype(jnp.float32), self.sync_axis)
+                    > 0
+                )
         else:
             sampled = jax.vmap(lambda k, s: per_head(k, s, None))(keys, batch_samples)
             has_valid = jnp.ones((h, 1), bool)
@@ -472,7 +559,12 @@ class Codebook(ModeModule):
 
         dropped = ind == -1
         ind = jnp.where(dropped, 0, ind)
-        one_hot = jax.nn.one_hot(ind, self.codebook_size, dtype=jnp.float32)
+        if self._code_parallel():
+            one_hot = local_onehot_from_global(
+                ind, self.embed[...].shape[1], self._code_row0()
+            )
+        else:
+            one_hot = jax.nn.one_hot(ind, self.codebook_size, dtype=jnp.float32)
         one_hot = jnp.where(dropped[..., None], 0.0, one_hot)
 
         if mask is not None:
@@ -574,11 +666,25 @@ class Codebook(ModeModule):
         metric = 'cosine' if self.use_cosine_sim else 'euclidean'
         transformed_embed = None
         dist = None
+        code_parallel = self._code_parallel()
+        assert not (code_parallel and codebook_transform_fn is not None), (
+            'implicit neural codebooks (QINCo) materialize a per-token '
+            'transformed codebook and cannot run on row-sharded state'
+        )
 
         if fast_path:
-            embed_ind_flat = nearest_code(
-                flatten, embed, metric, force_xla=not self.use_pallas
-            )                                                     # (h, N)
+            if code_parallel:
+                # local fused selection + cross-shard (score, index) argmax
+                # reduction over the code axis (parallel.shard)
+                embed_ind_flat = jax.vmap(
+                    lambda xs, es: sharded_nearest_code(
+                        xs, es, self.code_axis, metric
+                    )
+                )(flatten, embed)                                 # (h, N)
+            else:
+                embed_ind_flat = nearest_code(
+                    flatten, embed, metric, force_xla=not self.use_pallas
+                )                                                 # (h, N)
             embed_onehot = None
         else:
             if codebook_transform_fn is not None:
@@ -616,6 +722,14 @@ class Codebook(ModeModule):
                     )
                 else:
                     dist = -U.cdist(flatten, embed)
+                if code_parallel:
+                    # distance-materializing paths (stochastic sampling,
+                    # topk/beam, CE/diversity losses) need the full (N, c)
+                    # row: gather the local column blocks over the code axis
+                    # (column order = shard order = global code order)
+                    dist = collectives.all_gather(
+                        dist, self.code_axis, concat_axis=2
+                    )                                             # (h, N, c)
 
             key = None
             if use_stochastic:
@@ -656,17 +770,39 @@ class Codebook(ModeModule):
                     axis=-2,
                 )[..., 0, :]
         elif self.training and embed_onehot is not None:
-            quantize_flat = jnp.einsum(
-                'h n ... c, h c d -> h n ... d', embed_onehot, embed,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            if code_parallel:
+                # each shard contributes its own columns; psum over the code
+                # axis re-assembles the (differentiable) lookup
+                c_local = embed.shape[1]
+                local_cols = jax.lax.dynamic_slice_in_dim(
+                    embed_onehot, self._code_row0(), c_local, axis=-1
+                )
+                quantize_flat = jax.lax.psum(
+                    jnp.einsum(
+                        'h n ... c, h c d -> h n ... d', local_cols, embed,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ),
+                    self.code_axis,
+                )
+            else:
+                quantize_flat = jnp.einsum(
+                    'h n ... c, h c d -> h n ... d', embed_onehot, embed,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
         else:
             # gather path: differentiable w.r.t. embed (scatter-add VJP)
             # one-hot-matmul lookup: bit-exact at HIGHEST precision and far
             # faster than XLA's gather lowering on TPU (kernels/distance.py)
-            quantize_flat = jax.vmap(gather_codes)(
-                embed, embed_ind_flat.reshape(h, -1)
-            ).reshape(*embed_ind_flat.shape, embed.shape[-1])
+            if code_parallel:
+                quantize_flat = jax.vmap(
+                    lambda e, i: sharded_gather_codes(e, i, self.code_axis)
+                )(
+                    embed, embed_ind_flat.reshape(h, -1)
+                ).reshape(*embed_ind_flat.shape, embed.shape[-1])
+            else:
+                quantize_flat = jax.vmap(gather_codes)(
+                    embed, embed_ind_flat.reshape(h, -1)
+                ).reshape(*embed_ind_flat.shape, embed.shape[-1])
 
         quantize = unpack(quantize_flat)
 
@@ -677,7 +813,15 @@ class Codebook(ModeModule):
             and not freeze_codebook
             and topk is None
         ):
-            if embed_onehot is None:
+            if code_parallel:
+                # the statistics are tracked on the LOCAL rows: a one-hot
+                # over this shard's column window (zero rows for codes owned
+                # by other shards); cluster_size/embed_avg shards then update
+                # independently, and only the laplace total crosses shards
+                embed_onehot = local_onehot_from_global(
+                    embed_ind_flat, embed.shape[1], self._code_row0()
+                )
+            elif embed_onehot is None:
                 embed_onehot = jax.nn.one_hot(
                     embed_ind_flat, self.codebook_size, dtype=jnp.float32
                 )

@@ -96,13 +96,22 @@ def masked_sample_vectors(
     falls back to uniform over all rows (the reference skips replacement in
     that case; callers guard with a `where`).
     """
-    n = samples.shape[0]
+    return jnp.take(
+        samples, masked_sample_indices(key, samples.shape[0], mask, num), axis=0
+    )
+
+
+def masked_sample_indices(
+    key: jax.Array, n: int, mask: jax.Array | None, num: int
+) -> jax.Array:
+    """The index draw underlying `masked_sample_vectors`, exposed separately
+    so row-sharded codebooks can draw the GLOBAL index vector with the shared
+    key and `take` only their local slice (bit-identical to scattering the
+    unsharded draw, without materializing (c, d) candidates per shard)."""
     if mask is None:
-        idx = jax.random.randint(key, (num,), 0, n)
-        return jnp.take(samples, idx, axis=0)
+        return jax.random.randint(key, (num,), 0, n)
     mask = mask.astype(bool)
     any_valid = mask.any()
     logits = jnp.where(mask, 0.0, -jnp.inf)
     logits = jnp.where(any_valid, logits, jnp.zeros_like(logits))
-    idx = jax.random.categorical(key, logits, shape=(num,))
-    return jnp.take(samples, idx, axis=0)
+    return jax.random.categorical(key, logits, shape=(num,))

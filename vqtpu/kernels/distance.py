@@ -65,22 +65,30 @@ def gather_codes(
 ) -> jax.Array:
     """codebook row lookup: (c, d), (...,) -> (..., d).
 
-    On TPU this is a one-hot matmul at Precision.HIGHEST — bit-exact and far
-    better-fusing than XLA's gather lowering (measured ~2x end-to-end on the
-    quantize pipeline vs jnp.take for mid-sized codebooks). Falls back to
-    take for huge codebooks (one-hot width) and off-TPU.
+    Two formulations, both exact, crossover measured on v5e
+    (benchmarks/gather_sweep_tpu.py / pipeline_variants_tpu.py, round 2):
 
-    `precision=Precision.DEFAULT` trades exactness for a single bf16 MXU
-    pass (3x faster decode at c=512, ~1e-2 relative rounding) — a serving
-    knob for throughput-bound decode.
+    - one-hot matmul: MXU-bound, cost LINEAR in c (3 bf16 passes for a f32
+      codebook at HIGHEST — bit-exact since the one-hot operand is exact in
+      every decomposition pass; 1 pass for a bf16 codebook). Fuses well.
+    - jnp.take: memory-bound row gather, cost ~FLAT in c (~60% of the HBM
+      floor; 4.4 ms for 1M x 256 rows regardless of c).
+
+    Equating the two: one-hot wins below c ~= 512 * (3 / passes); take wins
+    above (2-4x faster at c=1024-8192 — round 1 shipped one-hot up to 8192,
+    which was wrong). Off-TPU always takes the gather.
     """
     c = embed.shape[0]
-    if jax.default_backend() != 'tpu' or c > 8192:
+    passes = 3 if (
+        embed.dtype == jnp.float32 and precision == jax.lax.Precision.HIGHEST
+    ) else 1
+    crossover = 512 * 3 // passes
+    if jax.default_backend() != 'tpu' or c > crossover:
         return jnp.take(embed, indices, axis=0)
     flat = indices.reshape(-1)
-    one_hot = jax.nn.one_hot(flat, c, dtype=jnp.float32)
+    one_hot = jax.nn.one_hot(flat, c, dtype=embed.dtype)
     out = jnp.einsum(
-        'nc,cd->nd', one_hot, embed.astype(jnp.float32),
+        'nc,cd->nd', one_hot, embed,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -90,6 +98,86 @@ def gather_codes(
 # ---------------------------------------------------------------------------
 # Pallas TPU kernels
 # ---------------------------------------------------------------------------
+
+def _tiled_select_kernel(
+    x_ref, c_ref, bias_ref, idx_ref, best_ref, bidx_ref, *, c_tile: int
+):
+    """Large-codebook selection: grid = (token blocks, codebook tiles); the
+    codebook streams through VMEM tile by tile (Mosaic double-buffers the
+    tile loads) while a running (best score, best index) pair persists in
+    scratch across the tile dimension. Tie-break: strict improvement across
+    tiles + first-index within a tile == global first-index argmax."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    scores = jax.lax.dot_general(
+        x_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:]
+
+    local_best = jnp.max(scores, axis=1, keepdims=True)          # (bn, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    local_idx = jnp.min(
+        jnp.where(scores >= local_best, iota + j * c_tile, jnp.int32(2**30)),
+        axis=1, keepdims=True,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        best_ref[:] = jnp.full_like(best_ref[:], -jnp.inf)
+        bidx_ref[:] = jnp.zeros_like(bidx_ref[:])
+
+    better = local_best > best_ref[:]
+    bidx_ref[:] = jnp.where(better, local_idx, bidx_ref[:])
+    best_ref[:] = jnp.where(better, local_best, best_ref[:])
+
+    @pl.when(j == n_j - 1)
+    def _():
+        idx_ref[:] = bidx_ref[:].reshape(idx_ref.shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('block_n', 'c_tile', 'interpret')
+)
+def _nearest_code_pallas_tiled(
+    x, embed, bias, *, block_n: int, c_tile: int, interpret: bool
+):
+    """Selection for codebooks too large for VMEM residence: (n, d) vs
+    (c, d) with c tiled. Caller guarantees n % block_n == 0, c % c_tile == 0,
+    d padded to lanes."""
+    n, d = x.shape
+    c = embed.shape[0]
+    rows = block_n // 128
+
+    idx = pl.pallas_call(
+        functools.partial(_tiled_select_kernel, c_tile=c_tile),
+        grid=(n // block_n, c // c_tile),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_tile, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_tile), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // block_n * rows, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, 1), jnp.float32),
+            pltpu.VMEM((block_n, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary'),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * c * d,
+            bytes_accessed=n * d * 4 + (n // block_n) * c * d * 4 + n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, embed, bias)
+    return idx.reshape(n)
 
 def _select_epilogue(scores: jax.Array, num_codes_padded: int) -> jax.Array:
     """Running argmax with first-index tie-break: max, then min index among
@@ -305,9 +393,12 @@ def nearest_code(
 
     n, d = x.shape
     c = embed.shape[0]
-    # codebook must fit comfortably in VMEM for the resident kernels
+    # codebook must fit comfortably in VMEM for the resident kernels; larger
+    # codebooks stream tile-by-tile through the tiled kernel
     if _round_up(c, 128) * _round_up(d, 128) * 4 > 4 * 1024 * 1024:
-        return nearest_code_xla(x, embed, metric)
+        return _nearest_code_tiled(
+            x, embed, metric, interpret=use_interpret
+        )
 
     xp, ep, bias, orig_n = _prepare_operands(x, embed, metric, block_n)
     idx = _nearest_code_pallas(
@@ -316,21 +407,93 @@ def nearest_code(
     return idx[:orig_n]
 
 
+def _nearest_code_tiled(
+    x: jax.Array,
+    embed: jax.Array,
+    metric: str,
+    *,
+    block_n: int = 1024,
+    c_tile: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pad + dispatch to the tiled-codebook selection kernel (codebook
+    larger than the VMEM-resident budget; tiles stream double-buffered)."""
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    embed = embed.astype(jnp.float32)
+
+    if metric == 'cosine':
+        bias = jnp.zeros((embed.shape[0],), jnp.float32)
+    else:
+        bias = -0.5 * (embed ** 2).sum(axis=-1)
+
+    d_pad = _round_up(d, 128) - d
+    n_pad = _round_up(n, block_n) - n
+    c_pad = _round_up(embed.shape[0], c_tile) - embed.shape[0]
+    if d_pad:
+        x = jnp.pad(x, ((0, 0), (0, d_pad)))
+        embed = jnp.pad(embed, ((0, 0), (0, d_pad)))
+    if n_pad:
+        x = jnp.pad(x, ((0, n_pad), (0, 0)))
+    if c_pad:
+        embed = jnp.pad(embed, ((0, c_pad), (0, 0)))
+        bias = jnp.pad(bias, (0, c_pad), constant_values=-3.0e38)
+
+    idx = _nearest_code_pallas_tiled(
+        x, embed, bias.reshape(1, -1),
+        block_n=block_n, c_tile=c_tile, interpret=interpret,
+    )
+    return idx[:n]
+
+
 def quantize_lookup(
     x: jax.Array,
     embed: jax.Array,
     metric: str = 'euclidean',
     *,
     backend: str = 'auto',
+    tier: str = 'exact',
 ) -> tuple[jax.Array, jax.Array]:
     """The full hot pipeline: (..., n, d) tokens -> (indices, quantized).
 
-    Selection via `nearest_code`, lookup via the bit-exact one-hot matmul
-    (`gather_codes`). This is what bench.py measures against the roofline.
+    tier='exact' (default): f32 selection via `nearest_code` + bit-exact
+    lookup via `gather_codes`. This is what bench.py measures against the
+    roofline.
+
+    tier='bf16': the serving/bf16-training tier — x and codebook are cast to
+    bfloat16; selection scores and the one-hot lookup accumulate in f32 from
+    bf16 operands, so indices AND rows are EXACT with respect to the bf16
+    values (bf16 is closed under rounding: a bf16-cast input loses nothing
+    further). 2 MXU passes instead of 4 -> measured 2.27 ms vs 6.28 ms for
+    1M x 256 at c=512 on v5e (2.8x, 462 Mvec/s,
+    benchmarks/pipeline_variants_tpu.py); returns bf16 quantized rows.
+    Parity evidence: tests/test_core.py::test_bf16_tier_exact_on_bf16_inputs.
     """
+    if tier == 'bf16':
+        return _quantize_lookup_bf16(x, embed, metric)
+    assert tier == 'exact', tier
     idx = nearest_code(x, embed, metric, backend=backend)
     if embed.ndim > 2:
         quantized = jax.vmap(gather_codes)(embed, idx)
     else:
         quantized = gather_codes(embed, idx)
+    return idx, quantized
+
+
+def _quantize_lookup_bf16(
+    x: jax.Array, embed: jax.Array, metric: str = 'euclidean'
+) -> tuple[jax.Array, jax.Array]:
+    if x.ndim > 2:
+        return jax.vmap(
+            functools.partial(_quantize_lookup_bf16, metric=metric)
+        )(x, embed)
+    xb = x.astype(jnp.bfloat16)
+    eb = embed.astype(jnp.bfloat16)
+    scores = jnp.einsum(
+        'nd,cd->nc', xb, eb, preferred_element_type=jnp.float32
+    )
+    if metric == 'euclidean':
+        scores = scores - 0.5 * (eb.astype(jnp.float32) ** 2).sum(-1)
+    idx = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    quantized = gather_codes(eb, idx)
     return idx, quantized

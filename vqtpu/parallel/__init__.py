@@ -6,4 +6,17 @@ from .sharded_vq import (
     sharded_quantize,
     sharded_ema_update,
 )
-from .shard import make_mesh, DataParallelTrainer, sharded_nearest_code
+from .shard import (
+    make_mesh,
+    DataParallelTrainer,
+    sharded_nearest_code,
+    sharded_gather_codes,
+    local_onehot_from_global,
+)
+from .tp import (
+    codebook_pspecs,
+    find_sharded_codebooks,
+    TensorParallelTrainer,
+    tp_apply,
+)
+from .multihost import init_multihost, is_multiprocess, global_batch

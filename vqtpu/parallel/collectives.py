@@ -39,11 +39,38 @@ def axis_size(axis: str | None) -> int:
     return jax.lax.axis_size(axis)
 
 
-def all_gather(x, axis: str | None, *, tiled: bool = True):
+def all_gather(x, axis: str | None, *, tiled: bool = True, concat_axis: int = 0):
     """Gather a per-replica buffer along the sync axis. Used for pooling
     dead-code replacement / kmeans candidates across data-parallel shards
     (fixed-size per-shard buffers replace the reference's variably-sized
     gather dance, vector_quantize_pytorch.py:193-229)."""
     if axis is None:
         return x
-    return jax.lax.all_gather(x, axis_name=axis, tiled=tiled)
+    return jax.lax.all_gather(x, axis_name=axis, tiled=tiled, axis=concat_axis)
+
+
+def axis_index(axis: str | None):
+    if axis is None:
+        return 0
+    return jax.lax.axis_index(axis)
+
+
+def axis_is_bound(axis: str | None) -> bool:
+    """True iff `axis` is a mesh axis bound in the current trace (i.e. we are
+    inside a shard_map/pjit region that binds it). This is what lets a module
+    carry `code_axis` metadata and transparently switch between the
+    full-codebook path (outside any mesh: state leaves hold the full logical
+    arrays) and the row-sharded path (inside shard_map with the codebook
+    leaves sharded over `axis`: the same leaves hold the local rows)."""
+    if axis is None:
+        return False
+    try:
+        # the only public-ish trace-time axis-env probe in jax 0.9
+        names = jax.core.unsafe_get_axis_names_DO_NOT_USE()
+    except Exception:  # pragma: no cover - API moved; fall back to probing
+        try:
+            jax.lax.axis_size(axis)
+            return True
+        except NameError:
+            return False
+    return axis in names

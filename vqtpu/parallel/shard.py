@@ -171,8 +171,12 @@ def sharded_nearest_code(
     local_idx = nearest_code(x, embed_shard, metric)             # (n,)
     chosen = jnp.take(embed_shard, local_idx, axis=0)            # (n, d)
 
+    # HIGHEST: the winning score is compared across shards and the resulting
+    # indices feed persistent EMA state — a default-precision (bf16) pass here
+    # can flip near-ties between shards vs the unsharded argmin on real TPU
     score = jnp.einsum(
-        'nd,nd->n', x.astype(jnp.float32), chosen.astype(jnp.float32)
+        'nd,nd->n', x.astype(jnp.float32), chosen.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     if metric == 'euclidean':
         score = score - 0.5 * (chosen.astype(jnp.float32) ** 2).sum(-1)
@@ -187,3 +191,40 @@ def sharded_nearest_code(
     all_idx = jax.lax.all_gather(global_idx, axis)               # (world, n)
     best_shard = jnp.argmax(all_scores, axis=0)
     return jnp.take_along_axis(all_idx, best_shard[None, :], axis=0)[0]
+
+
+def local_onehot_from_global(
+    ind: jax.Array, c_local: int, row0: jax.Array
+) -> jax.Array:
+    """One-hot of global code indices over THIS shard's row window
+    [row0, row0 + c_local): (...,) int -> (..., c_local) f32 with zero rows
+    for codes owned by other shards. The building block for row-sharded
+    lookups and EMA statistics."""
+    local = ind - row0
+    mine = (local >= 0) & (local < c_local)
+    onehot = jax.nn.one_hot(jnp.where(mine, local, 0), c_local, dtype=jnp.float32)
+    return onehot * mine[..., None].astype(jnp.float32)
+
+
+def sharded_gather_codes(
+    embed_shard: jax.Array,
+    indices: jax.Array,
+    code_axis: str,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Row lookup against a codebook sharded over `code_axis`:
+    (c_local, d), global (...,) -> (..., d). Each token's row lives on
+    exactly one shard, which contributes it via a local one-hot matmul
+    (bit-exact at HIGHEST — kernels.distance.gather_codes rationale); the
+    psum over `code_axis` is then a masked broadcast, not a sum of parts."""
+    c_local = embed_shard.shape[0]
+    row0 = jax.lax.axis_index(code_axis) * c_local
+    flat = indices.reshape(-1)
+    onehot = local_onehot_from_global(flat, c_local, row0)
+    out = jnp.einsum(
+        'nc,cd->nd', onehot, embed_shard.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    out = jax.lax.psum(out, code_axis)
+    return out.reshape(*indices.shape, embed_shard.shape[-1]).astype(embed_shard.dtype)

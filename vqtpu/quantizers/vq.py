@@ -102,6 +102,7 @@ class VectorQuantize(ModeModule):
         directional_reparam_variance: float = 5e-3,
         sync_axis: str | None = None,
         sync_codebook: bool | str | None = None,
+        code_axis: str | None = None,
         sync_affine_param: bool = False,
         ema_update: bool | None = None,
         vq_bridge: nnx.Module | Callable | None = None,
@@ -227,6 +228,16 @@ class VectorQuantize(ModeModule):
         self.sync_axis = sync_axis
         self.use_cosine_sim = use_cosine_sim
 
+        # tensor-parallel codebook rows (see Codebook.code_axis). Losses that
+        # need the c x c code gram would require an all_gather of the whole
+        # codebook — exactly what sharding exists to avoid — so they are
+        # mutually exclusive.
+        assert not (code_axis is not None and orthogonal_reg_weight > 0.0), (
+            'orthogonal regularization computes the full codebook gram and '
+            'is not supported with row-sharded (code_axis) codebooks'
+        )
+        self.code_axis = code_axis
+
         self._codebook = Codebook(
             dim=codebook_dim,
             num_codebooks=heads if separate_codebook_per_head else 1,
@@ -251,6 +262,7 @@ class VectorQuantize(ModeModule):
             affine_param_codebook_decay=affine_param_codebook_decay,
             use_pallas=use_pallas,
             stat_precision=stat_precision,
+            code_axis=code_axis,
             rngs=rngs,
         )
 
@@ -354,18 +366,27 @@ class VectorQuantize(ModeModule):
 
     def get_codes_from_indices(self, indices: jax.Array) -> jax.Array:
         """Indices -> codebook vectors (reference
-        vector_quantize_pytorch.py:998-1018)."""
+        vector_quantize_pytorch.py:998-1018). Inside a mesh region binding
+        `code_axis` the codebook leaf holds this shard's rows and the lookup
+        goes through the psum'd sharded gather."""
         codebook = self.codebook
         is_multiheaded = codebook.ndim > 2
+
+        if self._codebook._code_parallel():
+            from ..parallel.shard import sharded_gather_codes
+
+            gather = partial(sharded_gather_codes, code_axis=self.code_axis)
+        else:
+            gather = gather_codes
 
         if not is_multiheaded and self.heads > 1:
             # shared codebook across heads: indices (b, ..., h) gather to
             # (b, ..., h, d) and fold heads into the feature dim (the
             # reference leaves this case unhandled)
-            codes = gather_codes(codebook, indices)
+            codes = gather(codebook, indices)
             codes = codes.reshape(*codes.shape[:-2], -1)
         elif not is_multiheaded:
-            codes = gather_codes(codebook, indices)
+            codes = gather(codebook, indices)
         else:
             # indices: (b, ..., h)
             lead_shape = indices.shape[:-1]
@@ -373,7 +394,7 @@ class VectorQuantize(ModeModule):
             ind = indices.reshape(indices.shape[0], -1, h)      # (b, n, h)
             ind = jnp.transpose(ind, (0, 2, 1))                 # (b, h, n)
             codes = jax.vmap(
-                gather_codes, in_axes=(0, 1), out_axes=1
+                gather, in_axes=(0, 1), out_axes=1
             )(codebook, ind)                                    # (b, h, n, d)
             codes = jnp.transpose(codes, (0, 2, 1, 3))
             codes = codes.reshape(*lead_shape, -1)
