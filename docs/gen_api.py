@@ -11,7 +11,7 @@ import vqtpu
 from vqtpu import utils as vutils
 from vqtpu.core import metrics
 from vqtpu.kernels import distance
-from vqtpu.parallel import collectives, shard, sharded_vq
+from vqtpu.parallel import collectives, multihost, shard, sharded_vq, tp
 
 print('# vqtpu API reference\n')
 print('Generated from source (`python docs/gen_api.py > docs/API.md`). One')
@@ -65,7 +65,13 @@ emit('Checkpointing / migration / profiling (vqtpu.utils)',
 emit('Distributed (vqtpu.parallel)', [
     ('make_mesh', shard.make_mesh),
     ('DataParallelTrainer', shard.DataParallelTrainer),
+    ('TensorParallelTrainer', tp.TensorParallelTrainer),
+    ('codebook_pspecs', tp.codebook_pspecs),
+    ('tp_apply', tp.tp_apply),
+    ('init_multihost', multihost.init_multihost),
+    ('global_batch', multihost.global_batch),
     ('sharded_nearest_code', shard.sharded_nearest_code),
+    ('sharded_gather_codes', shard.sharded_gather_codes),
     ('sharded_quantize', sharded_vq.sharded_quantize),
     ('sharded_ema_update', sharded_vq.sharded_ema_update),
     ('init_sharded_codebook', sharded_vq.init_sharded_codebook),

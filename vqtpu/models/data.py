@@ -96,19 +96,30 @@ def image_batches(batch_size: int = 256, seed: int = 0, channel_last: bool = Tru
 
     native = _try_native_idx()
     if native is not None:
-        while True:
-            # fresh buffer per batch: JAX dispatch is async and jnp.asarray can
-            # be zero-copy on CPU, so reusing one buffer would let the next
-            # gather() overwrite data a still-in-flight step is reading
-            out = np.empty((batch_size, native.rows, native.cols), np.float32)
-            idx = rng.integers(0, native.count, batch_size)
-            batch = native.gather(idx, out)[..., None]   # (b, h, w, 1)
-            if not channel_last:
-                batch = np.moveaxis(batch, -1, 1)
-            yield batch
+        # background prefetch ring: the C gather releases the GIL, so batch
+        # prep overlaps device compute; every slot is a fresh buffer (JAX
+        # dispatch is async and jnp.asarray can be zero-copy on CPU)
+        from .native_data import PrefetchLoader
+
+        loader = PrefetchLoader(
+            native, batch_size, seed=seed, channel_last=channel_last
+        )
+        yield from loader
 
     data = _try_fashion_mnist()
     if data is None:
+        import sys
+
+        print(
+            '=' * 70 + '\n'
+            'WARNING: no local FashionMNIST found — training on SYNTHETIC\n'
+            'blob images. Results are NOT comparable to reference runs on\n'
+            'real data. Fetch the dataset with:\n'
+            '    python tools/fetch_fashion_mnist.py\n'
+            '(requires network; writes the IDX file the native loader uses)\n'
+            + '=' * 70,
+            file=sys.stderr,
+        )
         data = _synthetic_images(seed=seed)
 
     n = data.shape[0]

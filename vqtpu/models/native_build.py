@@ -17,23 +17,27 @@ _OUT_DIR = os.path.join(_REPO_ROOT, 'native', 'build')
 _OUT = os.path.join(_OUT_DIR, 'libvqdata.so')
 
 
-def _compile() -> str | None:
-    if not os.path.exists(_SRC):
+def compile_lib(src: str, out: str) -> str | None:
+    """Compile one C source into a shared library (cached on mtime)."""
+    if not os.path.exists(src):
         return None
-    if (os.path.exists(_OUT)
-            and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC)):
-        return _OUT
-    os.makedirs(_OUT_DIR, exist_ok=True)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
     for cc in ('cc', 'gcc', 'clang'):
         try:
             subprocess.run(
-                [cc, '-O3', '-shared', '-fPIC', '-o', _OUT, _SRC],
+                [cc, '-O3', '-shared', '-fPIC', '-o', out, src],
                 check=True, capture_output=True, timeout=120,
             )
-            return _OUT
+            return out
         except (FileNotFoundError, subprocess.SubprocessError):
             continue
     return None
+
+
+def _compile() -> str | None:
+    return compile_lib(_SRC, _OUT)
 
 
 _lib = None

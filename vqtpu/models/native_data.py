@@ -62,6 +62,85 @@ class IdxDataset:
             pass
 
 
+class PrefetchLoader:
+    """Background-thread prefetch ring over `IdxDataset.gather`.
+
+    The C gather (native/vqdata.c) releases the GIL for the duration of the
+    ctypes call, so batch preparation genuinely overlaps device compute /
+    host-to-device transfer of the previous step. Each slot is a FRESH
+    buffer (never reused), so async JAX dispatch can hold zero-copy views
+    safely (see models/data.py aliasing note).
+
+    Iterate forever: `for batch in PrefetchLoader(ds, 256): ...` yields
+    (b, rows, cols, 1) float32 in [-1, 1].
+    """
+
+    def __init__(
+        self,
+        dataset: IdxDataset,
+        batch_size: int,
+        seed: int = 0,
+        depth: int = 3,
+        channel_last: bool = True,
+    ):
+        import queue
+        import threading
+
+        self._ds = dataset
+        self._q = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._channel_last = channel_last
+
+        import queue as _queue
+
+        def worker():
+            rng = np.random.default_rng(seed)
+            while not self._stop.is_set():
+                idx = rng.integers(0, dataset.count, batch_size)
+                out = np.empty(
+                    (batch_size, dataset.rows, dataset.cols), np.float32
+                )
+                try:
+                    dataset.gather(idx, out)    # GIL released inside C
+                except Exception:
+                    return                       # dataset closed underneath us
+                batch = out[..., None]
+                if not channel_last:
+                    batch = np.moveaxis(batch, -1, 1)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.25)
+                        break
+                    except _queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        return self._q.get()
+
+    def close(self):
+        """Stop and JOIN the worker before the caller may close the
+        underlying dataset (the mmap must outlive any in-flight gather)."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5.0)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def write_idx(path: str, images: np.ndarray) -> None:
     """Write (n, rows, cols) uint8 images as an IDX file (for tests and for
     converting cached datasets into the native loader's format)."""
