@@ -182,3 +182,49 @@ def test_tp_decode_round_trip():
     )
     np.testing.assert_allclose(np.asarray(q), np.asarray(dec), atol=1e-5)
     assert int(np.asarray(ind).max()) < 256
+
+
+def test_residual_vq_code_sharded():
+    """ResidualVQ whose per-layer codebooks are row-sharded (code_axis rides
+    **vq_kwargs): trains on the 2D mesh and matches the unsharded module."""
+    import numpy as np
+    from vqtpu import ResidualVQ
+
+    def build():
+        return ResidualVQ(
+            dim=32, num_quantizers=3, codebook_size=64,
+            code_axis='code', rngs=nnx.Rngs(0),
+        )
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 6, 32))
+
+    ref = ResidualVQ(dim=32, num_quantizers=3, codebook_size=64,
+                     rngs=nnx.Rngs(0))
+    outs_ref = [ref(x[i]) for i in range(2)]
+
+    mesh = _code_mesh()
+    rvq = build()
+    graphdef, state = nnx.split(rvq)
+    specs = codebook_pspecs(state, rvq)
+    n_sharded = sum(
+        1 for s in jax.tree.leaves(
+            specs, is_leaf=lambda s: isinstance(s, P))
+        if any(ax == 'code' for ax in s)
+    )
+    assert n_sharded == 3 * 5, n_sharded     # 5 leaves per layer codebook
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, loss = m(batch)
+        _, new_state = nnx.split(m)
+        return new_state, q, ind, loss
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(specs, P(), P(), P()), check_vma=False,
+    ))
+    for i in range(2):
+        state, q, ind, loss = step(state, x[i])
+        qr, ir, lr = outs_ref[i]
+        assert (np.asarray(ind) == np.asarray(ir)).all(), f'step {i}'
+        np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=2e-5)

@@ -124,9 +124,10 @@ if mode == 'tpu':
         _nearest_code_tiled, gather_codes, quantize_lookup,
     )
     k1, k2 = jax.random.split(key)
-    xx = jax.random.normal(k1, (4096, 256))
+    xx = jax.random.normal(k1, (16384, 256))
     cb = jax.random.normal(k2, (512, 256))
-    ip = jax.jit(nearest_code)(xx, cb)
+    # force the kernel: 'auto' may legitimately route to XLA at small n
+    ip = jax.jit(lambda a, b: nearest_code(a, b, backend='pallas'))(xx, cb)
     ix = jax.jit(nearest_code_xla)(xx, cb)
     agree = float((ip == ix).mean())
     print(f'pallas-vs-xla agreement: {agree:.5f}')

@@ -387,7 +387,30 @@ def nearest_code(
     if use_interpret:
         backend = 'pallas'                 # tests exercise the kernel path
     elif backend == 'auto':
-        backend = 'xla'
+        # measured policy (v5e, round 2): the pipelined Pallas kernel with
+        # block_n=4096 beats XLA's fused matmul+argmax by 8-60% for
+        # VMEM-resident codebooks at c>=512, d<=256 (0.78 vs 1.25 ms at
+        # c=512 d=128; 1.62 vs 1.88 ms at the headline c=512 d=256 —
+        # pushing the exact pipeline to ~0.95 of the 4-pass roofline).
+        # Outside that measured envelope (small c pathological, d>=512
+        # VMEM-tight, big c) XLA stays.
+        n_, d_ = x.shape
+        c_pad = _round_up(embed.shape[0], 128)
+        d_pad = _round_up(d_, 128)
+        if (
+            on_tpu
+            and c_pad * d_pad * 4 <= 4 * 1024 * 1024
+            and 512 <= c_pad
+            and d_pad <= 256
+        ):
+            bn = 4096 if c_pad * 4096 * 4 <= 8 * 1024 * 1024 else 2048
+            if n_ >= 2 * bn:
+                backend = 'pallas'
+                block_n = bn
+            else:
+                backend = 'xla'
+        else:
+            backend = 'xla'
     if backend == 'xla' or (not on_tpu and not use_interpret):
         return nearest_code_xla(x, embed, metric)
 
