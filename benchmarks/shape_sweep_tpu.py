@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from vqtpu.kernels.distance import quantize_lookup
-from vqtpu.utils import timeit_chained
+from bench import chained_seconds_per_iter
 
 N = 1024 * 1024
 PEAK, HBM = 197e12, 819e9
@@ -35,8 +35,9 @@ def main():
         for d in (128, 256, 512):
             x = jax.random.normal(key, (N, d), jnp.float32)
             e = jax.random.normal(jax.random.PRNGKey(1), (c, d), jnp.float32)
-            t = timeit_chained(quantize_lookup, x, e, lo=2, hi=14,
-                               perturb_arg=1) * 1e3
+            # bench.py harness: median of 5 slopes over a wide gap (single
+            # slopes over the tunnel mismeasure by up to 30%)
+            t = chained_seconds_per_iter(quantize_lookup, x, e) * 1e3
             f = floor_ms(c, d)
             print(f'{c:>6} {d:>5} {t:>8.3f} {N/t/1e3:>8.0f} {f:>9.3f} '
                   f'{f/t*100:>4.0f}%')

@@ -50,12 +50,50 @@ def _round_up(x: int, m: int) -> int:
 # XLA formulations
 # ---------------------------------------------------------------------------
 
-def nearest_code_xla(x: jax.Array, embed: jax.Array, metric: str = 'euclidean') -> jax.Array:
-    """(n, d), (c, d) -> (n,) int32 indices of the nearest code."""
+def nearest_code_xla(
+    x: jax.Array,
+    embed: jax.Array,
+    metric: str = 'euclidean',
+    *,
+    return_best: bool = False,
+):
+    """(n, d), (c, d) -> (n,) int32 indices of the nearest code.
+
+    `return_best=True` additionally returns each token's winning score
+    (higher = better; for euclidean this is -cdist^2). The values are
+    EXACTLY the ones the argmax reduced, so a row-sharded caller can
+    compare winners across shards without the score-recompute that r1's
+    sharded path paid (per-column scores are identical regardless of which
+    shard computes them — same formulation, same operands)."""
     if metric == 'cosine':
         scores = jnp.einsum('nd,cd->nc', x, embed, preferred_element_type=jnp.float32)
+    else:
+        scores = -cdist_sq(x, embed)
+    if not return_best:
         return jnp.argmax(scores, axis=-1).astype(jnp.int32)
-    return jnp.argmin(cdist_sq(x, embed), axis=-1).astype(jnp.int32)
+    # ONE variadic reduce for (max, argmax): separate jnp.max + jnp.argmax
+    # calls are two reductions, which breaks XLA's matmul+reduce fusion and
+    # materializes the (n, c) score matrix (measured +80% on the sharded
+    # path at n=1M, c=4096). jnp.argmax itself lowers to exactly this
+    # variadic reduce — we just keep both outputs.
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+
+    def reducer(a, b):
+        av, ai = a
+        bv, bi = b
+        better = (bv > av) | ((bv == av) & (bi < ai))
+        return (jnp.where(better, bv, av), jnp.where(better, bi, ai))
+
+    # selection is non-differentiable (gradients route via STE/rotation at
+    # the quantizer layer), and lax.reduce's custom computation has no JVP —
+    # cut the tape here
+    best, idx = jax.lax.reduce(
+        (jax.lax.stop_gradient(scores), iota),
+        (jnp.float32(-jnp.inf), jnp.int32(2 ** 30)),
+        reducer,
+        (1,),
+    )
+    return idx.astype(jnp.int32), best
 
 
 def gather_codes(
@@ -397,10 +435,11 @@ def nearest_code(
         n_, d_ = x.shape
         c_pad = _round_up(embed.shape[0], 128)
         d_pad = _round_up(d_, 128)
+        # scores VMEM scales as block_n * c: cap block_n * c_pad * 4 <= 8MB
+        # (c=2048 with bn=2048 fails Mosaic compile at 16MB of scores)
         if (
             on_tpu
-            and c_pad * d_pad * 4 <= 4 * 1024 * 1024
-            and 512 <= c_pad
+            and 512 <= c_pad <= 1024
             and d_pad <= 256
         ):
             bn = 4096 if c_pad * 4096 * 4 <= 8 * 1024 * 1024 else 2048

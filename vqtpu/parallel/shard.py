@@ -163,34 +163,35 @@ def sharded_nearest_code(
     x: (n, d) replicated; embed_shard: (c_local, d) local rows.
     Returns (n,) global int32 indices.
     """
-    from ..kernels.distance import nearest_code
+    from ..kernels.distance import nearest_code_xla
 
     c_local = embed_shard.shape[0]
     rank = jax.lax.axis_index(axis)
 
-    local_idx = nearest_code(x, embed_shard, metric)             # (n,)
-    chosen = jnp.take(embed_shard, local_idx, axis=0)            # (n, d)
+    # the selection returns the exact score values its argmax reduced
+    # (per-column scores are shard-placement-invariant), so the cross-shard
+    # winner comparison needs NO recompute — r1 gathered the winning row and
+    # re-derived its score (one jnp.take + a HIGHEST dot over all n tokens),
+    # which measured +92% overhead at n=1M, c_local=4096 on v5e.
+    local_idx, score = nearest_code_xla(
+        x, embed_shard, metric, return_best=True
+    )                                                            # (n,), (n,)
 
-    # HIGHEST: the winning score is compared across shards and the resulting
-    # indices feed persistent EMA state — a default-precision (bf16) pass here
-    # can flip near-ties between shards vs the unsharded argmin on real TPU
-    score = jnp.einsum(
-        'nd,nd->n', x.astype(jnp.float32), chosen.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if metric == 'euclidean':
-        score = score - 0.5 * (chosen.astype(jnp.float32) ** 2).sum(-1)
-
-    global_idx = local_idx + rank * c_local
-
-    # reduce (score, idx) over the axis: max score wins; jnp.argmax picks the
-    # first (lowest-rank) shard on ties, and each shard's kernel already
-    # picked its lowest local index — so ties resolve to the lowest global
-    # index, matching the unsharded argmin
-    all_scores = jax.lax.all_gather(score, axis)                 # (world, n)
-    all_idx = jax.lax.all_gather(global_idx, axis)               # (world, n)
-    best_shard = jnp.argmax(all_scores, axis=0)
-    return jnp.take_along_axis(all_idx, best_shard[None, :], axis=0)[0]
+    # winner reduction as pure elementwise ops + pmax/pmin/psum — an
+    # all_gather + argmax-over-world + take_along_axis formulation costs
+    # +12.5 ms at n=1M on v5e (XLA's elementwise-gather lowering), this one
+    # ~+0 (benchmarks/tp_selection_tpu.py). Ties: the lowest rank holding
+    # the best score wins, and within a shard argmax picked the lowest
+    # local index — global index order is rank-major, so this matches the
+    # unsharded argmin's first-index tie-break exactly.
+    world = jax.lax.axis_size(axis)
+    best = jax.lax.pmax(score, axis)                             # (n,)
+    is_best = score == best
+    cand_rank = jnp.where(is_best, rank, world)
+    win_rank = jax.lax.pmin(cand_rank, axis)                     # (n,)
+    mine = is_best & (rank == win_rank)
+    global_idx = jnp.where(mine, local_idx + rank * c_local, 0)
+    return jax.lax.psum(global_idx, axis)
 
 
 def local_onehot_from_global(
