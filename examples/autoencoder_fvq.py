@@ -5,9 +5,12 @@ trained with an in-place SGD codebook optimizer.
 Note: EMA-free learnable codebooks behind a bridge are prone to
 winner-take-all utilization collapse on easy data — the reference's
 FVQ needed a hyperparameter hunt on FashionMNIST (upstream issue
-#239). The bridge MATH is golden-parity tested; if utilization
-collapses on your data, add codebook_diversity_loss_weight or a
-threshold_ema_dead_code equivalent.
+#239). This is PARITY, not a vqtpu defect: benchmarks/parity_fvq.py
+trains the reference at this exact config with an exact torch mirror
+of the bridge (forward delta 1.7e-6) and BOTH frameworks collapse
+identically (1/256 codes within 25 iters, rec-loss delta 0.1% —
+PARITY_FVQ.json). If utilization collapses on your data, add
+codebook_diversity_loss_weight or a threshold_ema_dead_code equivalent.
 """
 
 import os as _os

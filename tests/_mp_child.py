@@ -1,12 +1,15 @@
 """Child program for tests/test_multiprocess.py: one process of a
-2-process x 4-device CPU job running the data-parallel VQ train step.
+2-process x 4-device CPU job running the data-parallel VQ train step —
+or, in 'tp' mode, the full 2D (data x code) tensor-parallel train step
+with the data axis crossing the PROCESS boundary (the DCN stand-in) and
+the codebook rows sharded over each process's local devices.
 
 Prints one JSON line: {"process_id", "losses", "codebook_b64"} where
-codebook_b64 is the raw f32 bytes of this process's view of the (replicated)
+codebook_b64 is the raw f32 bytes of this process's assembled view of the
 codebook after training — the parent asserts the processes agree
-bit-identically and match a single-process run.
+bit-identically (and, for 'dp', match a single-process run).
 
-Run (from the parent): python tests/_mp_child.py <proc_id> <nproc> <port>
+Run (from the parent): python tests/_mp_child.py <proc_id> <nproc> <port> [mode]
 With nproc=1 it runs the identical job single-process (8 local devices).
 """
 
@@ -17,6 +20,7 @@ import sys
 
 def main():
     proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else 'dp'
 
     import jax
 
@@ -41,14 +45,19 @@ def main():
     from flax import nnx
 
     from vqtpu import VectorQuantize
-    from vqtpu.parallel import DataParallelTrainer, global_batch, make_mesh
+    from vqtpu.parallel import (
+        DataParallelTrainer, TensorParallelTrainer, global_batch, make_mesh,
+    )
     from jax.sharding import PartitionSpec as P
+
+    tp = mode == 'tp'
 
     class Model(nnx.Module):
         def __init__(self, rngs):
             self.enc = nnx.Linear(8, 16, rngs=rngs)
             self.vq = VectorQuantize(
                 dim=16, codebook_size=32, sync_axis='data',
+                code_axis='code' if tp else None,
                 kmeans_init=True, kmeans_iters=3,
                 threshold_ema_dead_code=0.5, rngs=rngs,
             )
@@ -62,9 +71,15 @@ def main():
         out, commit = model(batch)
         return ((out - batch) ** 2).mean() + commit
 
-    mesh = make_mesh(('data',))
     model = Model(nnx.Rngs(0))
-    trainer = DataParallelTrainer(model, optax.adam(1e-2), loss_fn, mesh)
+    if tp:
+        # data axis crosses the process boundary; codebook rows shard over
+        # each process's local devices
+        mesh = make_mesh(('data', 'code'), shape=(nproc, 8 // nproc))
+        trainer = TensorParallelTrainer(model, optax.adam(1e-2), loss_fn, mesh)
+    else:
+        mesh = make_mesh(('data',))
+        trainer = DataParallelTrainer(model, optax.adam(1e-2), loss_fn, mesh)
 
     losses = []
     for step in range(3):
@@ -74,12 +89,16 @@ def main():
         losses.append(float(trainer.step(batch)))
 
     embed = model.vq._codebook.embed[...]
-    local = np.asarray(embed.addressable_shards[0].data)
+    # assemble this process's full logical view from its addressable shards
+    # (dp: one replicated shard; tp: this data-row's code shards)
+    full_cb = np.zeros(embed.shape, np.float32)
+    for s in embed.addressable_shards:
+        full_cb[s.index] = np.asarray(s.data)
     print(json.dumps({
         'process_id': proc_id,
         'losses': losses,
-        'codebook_b64': base64.b64encode(local.tobytes()).decode(),
-        'shape': list(local.shape),
+        'codebook_b64': base64.b64encode(full_cb.tobytes()).decode(),
+        'shape': list(full_cb.shape),
     }))
 
 

@@ -25,12 +25,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_child(proc_id: int, nproc: int, port: int) -> subprocess.Popen:
+def _run_child(proc_id: int, nproc: int, port: int,
+               mode: str = 'dp') -> subprocess.Popen:
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)           # child sets its own device count
     env['JAX_PLATFORMS'] = 'cpu'
     return subprocess.Popen(
-        [sys.executable, _CHILD, str(proc_id), str(nproc), str(port)],
+        [sys.executable, _CHILD, str(proc_id), str(nproc), str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
     )
 
@@ -65,3 +66,23 @@ def test_two_process_dp_bit_identical_codebooks():
     np.testing.assert_allclose(cb_single, cb[0], atol=1e-5)
     np.testing.assert_allclose(single['losses'], results[0]['losses'],
                                atol=1e-5)
+
+
+def test_two_process_2d_tp_mesh():
+    """The full tensor-parallel path ACROSS a process boundary: a 2D
+    (data=2 processes, code=4 local devices) mesh trains the code_axis
+    VectorQuantize with kmeans init + expiry; both processes must end with
+    the identical assembled codebook (data-replicated, code-sharded)."""
+    port = _free_port()
+    procs = [_run_child(i, 2, port, mode='tp') for i in range(2)]
+    results = [_parse(p) for p in procs]
+
+    assert results[0]['losses'] == results[1]['losses'], 'losses diverged'
+    cb = [
+        np.frombuffer(base64.b64decode(r['codebook_b64']), np.float32)
+        for r in results
+    ]
+    assert cb[0].tobytes() == cb[1].tobytes(), (
+        'assembled codebooks diverged across processes'
+    )
+    assert np.isfinite(cb[0]).all() and np.abs(cb[0]).max() > 0

@@ -228,3 +228,133 @@ def test_residual_vq_code_sharded():
         qr, ir, lr = outs_ref[i]
         assert (np.asarray(ind) == np.asarray(ir)).all(), f'step {i}'
         np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=2e-5)
+
+
+def test_simvq_code_sharded_matches_unsharded():
+    """SimVQ with its frozen codebook row-sharded: indices/quantized/loss
+    match the unsharded module, and the transform's gradients — partial per
+    code shard — match the unsharded gradients after the trainer's psum."""
+    from vqtpu import SimVQ
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 10, 32))
+
+    ref = SimVQ(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    qr, ir, lr = ref(x)
+
+    mesh = _code_mesh()
+    tp = SimVQ(dim=32, codebook_size=64, code_axis='code', rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+
+        def loss_fn(model):
+            q, ind, commit = model(batch)
+            return commit + (q ** 2).mean(), (q, ind)
+
+        (loss, (q, ind)), grads = nnx.value_and_grad(
+            lambda m: loss_fn(m), has_aux=True)(m)
+        from vqtpu.parallel.tp import (
+            find_code_partial_grad_paths, psum_partial_grads,
+        )
+        grads = psum_partial_grads(grads, [(('code_transform',), 'code')])
+        return q, ind, loss, grads
+
+    q, ind, loss, grads = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(P(), P(), P(), P()), check_vma=False,
+    ))(state, x)
+
+    assert (np.asarray(ind) == np.asarray(ir)).all()
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=2e-6)
+
+    # unsharded gradient oracle
+    def ref_loss(model):
+        q, ind, commit = model(x)
+        return commit + (q ** 2).mean()
+
+    ref_grads = nnx.grad(ref_loss)(ref)
+    got = jax.tree.leaves(grads)
+    want = jax.tree.leaves(ref_grads)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5)
+
+
+def test_simvq_tp_trainer_converges():
+    """End-to-end: SimVQ (sharded rows + partial-grad transform) inside the
+    TensorParallelTrainer on the 2D mesh."""
+    from vqtpu import SimVQ
+
+    class Model(nnx.Module):
+        def __init__(self, rngs):
+            self.enc = nnx.Linear(8, 32, rngs=rngs)
+            self.vq = SimVQ(dim=32, codebook_size=256, code_axis='code',
+                            rngs=rngs)
+            self.dec = nnx.Linear(32, 8, rngs=rngs)
+
+        def __call__(self, x):
+            q, ind, commit = self.vq(self.enc(x))
+            return self.dec(q), ind, commit
+
+    def loss_fn(model, batch):
+        out, _, commit = model(batch)
+        return ((out - batch) ** 2).mean() + commit
+
+    mesh = make_mesh(('data', 'code'), shape=(2, 4))
+    model = Model(nnx.Rngs(0))
+    trainer = TensorParallelTrainer(model, optax.adam(1e-2), loss_fn, mesh)
+    assert trainer._partial_grad_paths, 'transform must be declared partial'
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 4, 8))
+    losses = [float(trainer.step(x)) for _ in range(12)]
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_learnable_codebook_gradient_parity():
+    """Gradients of a LEARNABLE code-sharded codebook must equal the
+    unsharded gradients exactly (regression for the psum-transpose
+    inflation: plain psum's transpose under check_vma=False multiplies
+    activation-path gradients by the axis size)."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 9, 32))
+    kw = dict(dim=32, codebook_size=64, learnable_codebook=True,
+              ema_update=False, rotation_trick=False)
+
+    ref = VectorQuantize(rngs=nnx.Rngs(0), **kw)
+
+    def ref_loss(model):
+        q, ind, commit = model(x)
+        return commit + (q ** 2).mean()
+
+    ref_grads = nnx.grad(ref_loss)(ref)
+
+    mesh = _code_mesh()
+    tp = VectorQuantize(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+
+        def loss_fn(model):
+            q, ind, commit = model(batch)
+            return commit + (q ** 2).mean()
+
+        return nnx.grad(loss_fn)(m)
+
+    # grads: the sharded embed Param's grads come back sharded over 'code'
+    grad_specs = codebook_pspecs(
+        jax.tree.map(lambda s: s, nnx.state(tp, nnx.Param)), tp)
+    grads = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=grad_specs, check_vma=False,
+    ))(state, x)
+
+    got = {tuple(p): np.asarray(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(grads)[0]}
+    want = {tuple(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0]}
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=2e-5,
+                                   err_msg=str(k))

@@ -75,6 +75,17 @@ class Codebook(ModeModule):
     """Euclidean or cosine codebook with EMA statistics, kmeans init,
     affine re-parameterization and dead-code expiry."""
 
+    # per-code state leaves -> position (from the end) of the code-row axis;
+    # consumed by vqtpu.parallel.tp.codebook_pspecs when code_axis is set.
+    # embed/embed_avg are (h, c, d); cluster_size is (h, c)
+    _code_sharded_leaves = {
+        'embed': 2,
+        'embed_avg': 2,
+        'accum_embed_avg': 2,
+        'cluster_size': 1,
+        'accum_cluster_size': 1,
+    }
+
     def __init__(
         self,
         dim: int,
@@ -771,13 +782,14 @@ class Codebook(ModeModule):
                 )[..., 0, :]
         elif self.training and embed_onehot is not None:
             if code_parallel:
-                # each shard contributes its own columns; psum over the code
-                # axis re-assembles the (differentiable) lookup
+                # each shard contributes its own columns; psum_exact (the
+                # identity-transpose psum) re-assembles the differentiable
+                # lookup without the axis-size gradient inflation
                 c_local = embed.shape[1]
                 local_cols = jax.lax.dynamic_slice_in_dim(
                     embed_onehot, self._code_row0(), c_local, axis=-1
                 )
-                quantize_flat = jax.lax.psum(
+                quantize_flat = collectives.psum_exact(
                     jnp.einsum(
                         'h n ... c, h c d -> h n ... d', local_cols, embed,
                         precision=jax.lax.Precision.HIGHEST,

@@ -117,9 +117,17 @@ def gather_codes(
     which was wrong). Off-TPU always takes the gather.
     """
     c = embed.shape[0]
-    passes = 3 if (
-        embed.dtype == jnp.float32 and precision == jax.lax.Precision.HIGHEST
-    ) else 1
+    if embed.dtype == jnp.bfloat16:
+        # bf16 operands are exact under DEFAULT (native 1-pass MXU with f32
+        # accumulation); HIGHEST makes XLA upcast and run ~3x slower
+        # (measured 4.2 vs 1.5 ms at c=512, benchmarks/decode_tpu.py)
+        precision = jax.lax.Precision.DEFAULT
+        passes = 1
+    else:
+        passes = 3 if (
+            embed.dtype == jnp.float32
+            and precision == jax.lax.Precision.HIGHEST
+        ) else 1
     crossover = 512 * 3 // passes
     if jax.default_backend() != 'tpu' or c > crossover:
         return jnp.take(embed, indices, axis=0)

@@ -17,6 +17,8 @@ all replicas derive the same `jax.random` key from the shared rng stream.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +27,38 @@ def psum(x, axis: str | None):
     if axis is None:
         return x
     return jax.lax.psum(x, axis_name=axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_exact(x, axis: str):
+    return jax.lax.psum(x, axis_name=axis)
+
+
+def _psum_exact_fwd(x, axis):
+    return _psum_exact(x, axis), None
+
+
+def _psum_exact_bwd(axis, _, g):
+    return (g,)
+
+
+_psum_exact.defvjp(_psum_exact_fwd, _psum_exact_bwd)
+
+
+def psum_exact(x, axis: str | None):
+    """psum with the 'sum of partials -> replicated value' transpose: the
+    cotangent passes through UNCHANGED to each shard's partial contribution.
+
+    Under `shard_map(..., check_vma=False)` the default transpose of
+    `lax.psum` is another psum, which multiplies gradients by the axis size
+    on activation paths (each shard's partial gets the world-summed
+    cotangent) — measured as a mixed 8x inflation on SimVQ's sharded lookup
+    before this fix. Use THIS for cross-shard sums whose gradient contract
+    is 'replicated cotangent flows to each partial', i.e. every
+    tensor-parallel lookup."""
+    if axis is None:
+        return x
+    return _psum_exact(x, axis)
 
 
 def pmean(x, axis: str | None):

@@ -218,6 +218,8 @@ def sharded_gather_codes(
     exactly one shard, which contributes it via a local one-hot matmul
     (bit-exact at HIGHEST — kernels.distance.gather_codes rationale); the
     psum over `code_axis` is then a masked broadcast, not a sum of parts."""
+    from . import collectives
+
     c_local = embed_shard.shape[0]
     row0 = jax.lax.axis_index(code_axis) * c_local
     flat = indices.reshape(-1)
@@ -227,5 +229,7 @@ def sharded_gather_codes(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    out = jax.lax.psum(out, code_axis)
+    # psum_exact: identity transpose — the plain psum transpose inflates
+    # embed/transform gradients by the axis size under check_vma=False
+    out = collectives.psum_exact(out, code_axis)
     return out.reshape(*indices.shape, embed_shard.shape[-1]).astype(embed_shard.dtype)

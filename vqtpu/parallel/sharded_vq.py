@@ -81,7 +81,9 @@ def sharded_quantize(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    q = jax.lax.psum(q, code_axis)
+    from . import collectives
+
+    q = collectives.psum_exact(q, code_axis)   # identity-transpose psum
     return idx, q.astype(embed_shard.dtype)
 
 

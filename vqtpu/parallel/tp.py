@@ -24,15 +24,10 @@ import jax.tree_util as jtu
 from flax import nnx
 from jax.sharding import Mesh, PartitionSpec as P
 
-# per-code state leaves of a Codebook and the position (from the end) of
-# their code-row axis: embed/embed_avg are (h, c, d); cluster_size is (h, c)
-_CODE_LEAVES = {
-    'embed': 2,
-    'embed_avg': 2,
-    'accum_embed_avg': 2,
-    'cluster_size': 1,
-    'accum_cluster_size': 1,
-}
+# Modules participate in code sharding declaratively: any module with a
+# non-None `code_axis` attribute and a `_code_sharded_leaves` mapping
+# {leaf_name: position of the code-row axis FROM THE END} gets those leaves
+# sharded. Codebook declares its EMA state; SimVQ its frozen codebook.
 
 
 def _key_str(entry) -> str:
@@ -48,15 +43,54 @@ def _key_str(entry) -> str:
 
 
 def find_sharded_codebooks(model: nnx.Module):
-    """All Codebook submodules constructed with a `code_axis`, with their
-    attribute paths."""
-    from ..codebook.codebook import Codebook  # local: avoids an import cycle
-
+    """All submodules that declare code sharding (`code_axis` set and a
+    `_code_sharded_leaves` mapping), with their attribute paths."""
     out = []
     for path, node in nnx.iter_graph(model):
-        if isinstance(node, Codebook) and node.code_axis is not None:
+        # (nnx.Rngs answers any getattr with a fresh RngStream — require the
+        # declared types)
+        if (
+            isinstance(node, nnx.Module)
+            and isinstance(getattr(node, 'code_axis', None), str)
+            and isinstance(getattr(node, '_code_sharded_leaves', None), dict)
+        ):
             out.append((tuple(str(p) for p in path), node))
     return out
+
+
+def find_code_partial_grad_paths(model: nnx.Module):
+    """Paths of REPLICATED submodules whose parameter gradients are partial
+    per code shard (declared via `_code_partial_grad_submodules`, e.g.
+    SimVQ's row-wise codebook transform): the trainer must psum their grads
+    over the owning module's code axis."""
+    out = []
+    for path, node in nnx.iter_graph(model):
+        # NB: nnx.Rngs answers ANY getattr with a fresh RngStream — require
+        # the declared types, not just truthiness
+        subs = getattr(node, '_code_partial_grad_submodules', None)
+        axis = getattr(node, 'code_axis', None)
+        if isinstance(subs, (tuple, list)) and isinstance(axis, str):
+            for s in subs:
+                out.append((tuple(str(p) for p in path) + (str(s),), axis))
+    return out
+
+
+def psum_partial_grads(grads, partial_paths):
+    """psum gradient leaves under the declared partial-grad paths over their
+    code axis (identity for everything else)."""
+    if not partial_paths:
+        return grads
+
+    def fix(path, g):
+        keys = [_key_str(k) for k in path]
+        for prefix, axis in partial_paths:
+            plen = len(prefix)
+            for i in range(len(keys) - plen + 1):
+                if tuple(keys[i:i + plen]) == prefix:
+                    return jax.lax.psum(g, axis)
+        return g
+
+    return jtu.tree_map_with_path(fix, grads)
 
 
 def codebook_pspecs(model_or_state, model: nnx.Module | None = None):
@@ -82,14 +116,15 @@ def codebook_pspecs(model_or_state, model: nnx.Module | None = None):
     def spec_for(path, leaf) -> P:
         keys = [_key_str(k) for k in path]
         for cb_path, cb in books:
+            leaves = cb._code_sharded_leaves
             plen = len(cb_path)
             for i in range(len(keys) - plen):
                 if tuple(keys[i:i + plen]) != cb_path:
                     continue
                 nxt = keys[i + plen] if i + plen < len(keys) else None
-                if nxt in _CODE_LEAVES:
+                if nxt in leaves:
                     ndim = jnp.ndim(leaf)
-                    pos = ndim - _CODE_LEAVES[nxt]
+                    pos = ndim - leaves[nxt]
                     spec = [None] * ndim
                     if 0 <= pos < ndim:
                         spec[pos] = cb.code_axis
@@ -141,12 +176,14 @@ class TensorParallelTrainer:
         self._ts = _TrainState(model, optimizer)
         self._graphdef, state = nnx.split(self._ts)
         self._state_specs = codebook_pspecs(state, model)
+        self._partial_grad_paths = find_code_partial_grad_paths(model)
         self._jitted = None
 
     def _build(self):
         graphdef = self._graphdef
         loss_fn = self.loss_fn
         data_axis = self.data_axis
+        partial_paths = self._partial_grad_paths
 
         def body(state, batch):
             ts = nnx.merge(graphdef, state)
@@ -154,6 +191,9 @@ class TensorParallelTrainer:
                 lambda m: loss_fn(m, batch)
             )(ts.model)
             grads = jax.lax.pmean(grads, data_axis)
+            # replicated params with per-code-shard partial grads (e.g.
+            # SimVQ's row-wise transform) accumulate over the code axis
+            grads = psum_partial_grads(grads, partial_paths)
             loss = jax.lax.pmean(loss, data_axis)
             ts.optimizer.update(ts.model, grads)
             _, new_state = nnx.split(ts)

@@ -20,11 +20,22 @@ from ..core.module import ModeModule
 from ..core.ste import rotate_to
 from ..core.utils import default, identity
 from ..kernels.distance import nearest_code, gather_codes
+from ..parallel import collectives
+from ..parallel.shard import sharded_gather_codes, sharded_nearest_code
 
 sg = jax.lax.stop_gradient
 
 
 class SimVQ(ModeModule):
+    # the frozen codebook is (c, fd): row axis at position 2 from the end
+    # (tensor-parallel sharding protocol, vqtpu.parallel.tp)
+    _code_sharded_leaves = {'frozen_codebook': 2}
+    # the transform's params are REPLICATED but each code shard only sees
+    # its own rows' gradient contributions — the trainer must psum these
+    # grads over the code axis (TensorParallelTrainer does; custom training
+    # loops must do the same)
+    _code_partial_grad_submodules = ('code_transform',)
+
     def __init__(
         self,
         dim: int,
@@ -37,6 +48,7 @@ class SimVQ(ModeModule):
         commitment_weight: float = 1.0,
         frozen_codebook_dim: int | None = None,
         use_pallas: bool = True,
+        code_axis: str | None = None,
         *,
         rngs: nnx.Rngs | None = None,
     ):
@@ -67,6 +79,11 @@ class SimVQ(ModeModule):
         self.commitment_weight = commitment_weight
         self.use_pallas = use_pallas
 
+        # tensor-parallel rows: the frozen codebook shards over `code_axis`
+        # inside a bound mesh (the learnable transform is row-wise — Linear
+        # or any per-row callable — so the implicit codebook shards with it)
+        self.code_axis = code_axis
+
     @property
     def codebook(self) -> jax.Array:
         return self.code_transform(self.frozen_codebook[...])
@@ -75,8 +92,16 @@ class SimVQ(ModeModule):
     def codebook_dim(self) -> int:
         return self.frozen_codebook[...].shape[-1]
 
+    def _code_parallel(self) -> bool:
+        return collectives.axis_is_bound(self.code_axis)
+
     def indices_to_codes(self, indices: jax.Array) -> jax.Array:
-        frozen_codes = gather_codes(self.frozen_codebook[...], indices)
+        if self._code_parallel():
+            frozen_codes = sharded_gather_codes(
+                self.frozen_codebook[...], indices, self.code_axis
+            )
+        else:
+            frozen_codes = gather_codes(self.frozen_codebook[...], indices)
         quantized = self.code_transform(frozen_codes)
         if self.channel_first:
             quantized = jnp.moveaxis(quantized, -1, 1)
@@ -90,18 +115,28 @@ class SimVQ(ModeModule):
         d = x.shape[-1]
         x_flat = x.reshape(1, -1, d)
 
-        implicit_codebook = self.codebook
+        implicit_codebook = self.codebook      # local rows when code-sharded
 
         # selection is under stop-gradient (reference :111-113): the fused
         # index-only kernel is exact here
-        indices = nearest_code(
-            x_flat[0].astype(jnp.float32),
-            sg(implicit_codebook).astype(jnp.float32),
-            'euclidean',
-            force_xla=not self.use_pallas,
-        )
-
-        quantized = gather_codes(implicit_codebook, indices)
+        if self._code_parallel():
+            indices = sharded_nearest_code(
+                x_flat[0].astype(jnp.float32),
+                sg(implicit_codebook).astype(jnp.float32),
+                self.code_axis,
+                'euclidean',
+            )
+            quantized = sharded_gather_codes(
+                implicit_codebook, indices, self.code_axis
+            )
+        else:
+            indices = nearest_code(
+                x_flat[0].astype(jnp.float32),
+                sg(implicit_codebook).astype(jnp.float32),
+                'euclidean',
+                force_xla=not self.use_pallas,
+            )
+            quantized = gather_codes(implicit_codebook, indices)
         x_tokens = x_flat[0]
 
         if self.training:
