@@ -358,3 +358,156 @@ def test_learnable_codebook_gradient_parity():
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=2e-5,
                                    err_msg=str(k))
+
+
+def test_qinco_code_sharded_matches_unsharded():
+    """Implicit neural codebooks (QINCo) on row-sharded state: the per-token
+    transformed codebook shards with the rows (a memory win), distances
+    gather over the code axis, and forward + decode match the unsharded
+    module."""
+    from vqtpu import ResidualVQ
+
+    kw = dict(dim=16, num_quantizers=3, codebook_size=32,
+              implicit_neural_codebook=True,
+              mlp_kwargs=dict(dim_hidden=32, depth=2))
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 6, 16))
+
+    ref = ResidualVQ(rngs=nnx.Rngs(0), **kw)
+    ref.eval()
+    qr, ir, lr = ref(x)
+    dec_r = ref.get_output_from_indices(ir)
+
+    mesh = _code_mesh()
+    tp = ResidualVQ(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, loss = m(batch)
+        dec = m.get_output_from_indices(ind)
+        return q, ind, dec
+
+    q, ind, dec = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(P(), P(), P()), check_vma=False,
+    ))(state, x)
+
+    assert (np.asarray(ind) == np.asarray(ir)).all()
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(dec_r), atol=2e-5)
+    # decode == forward (round-trip oracle), sharded
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(q), atol=2e-5)
+
+
+def test_residual_vq_code_sharded_decode_round_trip():
+    """Plain (uniform-codebook) ResidualVQ decode against sharded rows."""
+    from vqtpu import ResidualVQ
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 6, 16))
+    mesh = _code_mesh()
+    rvq = ResidualVQ(dim=16, num_quantizers=2, codebook_size=32,
+                     code_axis='code', rngs=nnx.Rngs(0))
+    rvq.eval()
+    graphdef, state = nnx.split(rvq)
+    specs = codebook_pspecs(state, rvq)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, _ = m(batch)
+        return q, m.get_output_from_indices(ind)
+
+    q, dec = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(P(), P()), check_vma=False,
+    ))(state, x)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(q), atol=1e-5)
+
+
+def test_residual_simvq_code_sharded_round_trip():
+    from vqtpu import ResidualSimVQ
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 6, 16))
+
+    ref = ResidualSimVQ(dim=16, num_quantizers=2, codebook_size=32,
+                        rngs=nnx.Rngs(0))
+    ref.eval()
+    qr, ir, _ = ref(x)
+
+    mesh = _code_mesh()
+    tp = ResidualSimVQ(dim=16, num_quantizers=2, codebook_size=32,
+                       code_axis='code', rngs=nnx.Rngs(0))
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, _ = m(batch)
+        dec = m.get_output_from_indices(ind)
+        return q, ind, dec
+
+    q, ind, dec = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(P(), P(), P()), check_vma=False,
+    ))(state, x)
+    assert (np.asarray(ind) == np.asarray(ir)).all()
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(q), atol=1e-5)
+
+
+def test_qinco_gradient_parity():
+    """QINCo training gradients under sharding: learnable sharded codebook
+    rows + replicated MLP params (partial per shard, psum'd by the declared
+    protocol) must match the unsharded oracle."""
+    from vqtpu import ResidualVQ
+    from vqtpu.parallel.tp import (
+        find_code_partial_grad_paths, psum_partial_grads,
+    )
+
+    kw = dict(dim=16, num_quantizers=2, codebook_size=32,
+              implicit_neural_codebook=True,
+              mlp_kwargs=dict(dim_hidden=32, depth=2))
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 6, 16))
+
+    ref = ResidualVQ(rngs=nnx.Rngs(0), **kw)
+
+    def loss_of(model):
+        q, ind, losses = model(x)
+        return losses.sum() + (q ** 2).mean()
+
+    ref_grads = nnx.grad(loss_of)(ref)
+
+    mesh = _code_mesh()
+    tp = ResidualVQ(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    partial = find_code_partial_grad_paths(tp)
+    assert partial, 'QINCo MLPs must be declared partial-grad'
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+    grad_specs = codebook_pspecs(
+        jax.tree.map(lambda s: s, nnx.state(tp, nnx.Param)), tp)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+
+        def loss_fn(model):
+            q, ind, losses = model(batch)
+            return losses.sum() + (q ** 2).mean()
+
+        grads = nnx.grad(loss_fn)(m)
+        return psum_partial_grads(grads, partial)
+
+    grads = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=grad_specs, check_vma=False,
+    ))(state, x)
+
+    got = {tuple(p): np.asarray(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(grads)[0]}
+    want = {tuple(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0]}
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=5e-5,
+                                   err_msg=str(k))

@@ -678,10 +678,6 @@ class Codebook(ModeModule):
         transformed_embed = None
         dist = None
         code_parallel = self._code_parallel()
-        assert not (code_parallel and codebook_transform_fn is not None), (
-            'implicit neural codebooks (QINCo) materialize a per-token '
-            'transformed codebook and cannot run on row-sharded state'
-        )
 
         if fast_path:
             if code_parallel:
@@ -724,6 +720,9 @@ class Codebook(ModeModule):
                     dist = -jnp.sqrt(
                         jnp.maximum((diff ** 2).sum(axis=-1), 1e-12)
                     )
+                # row-sharded: the per-token transformed codebook holds only
+                # this shard's rows (a memory WIN for QINCo — the (N, c, d)
+                # tensor shards with the codebook); distances gather below
                 transformed_embed = transformed
             else:
                 if self.use_cosine_sim:
@@ -733,14 +732,15 @@ class Codebook(ModeModule):
                     )
                 else:
                     dist = -U.cdist(flatten, embed)
-                if code_parallel:
-                    # distance-materializing paths (stochastic sampling,
-                    # topk/beam, CE/diversity losses) need the full (N, c)
-                    # row: gather the local column blocks over the code axis
-                    # (column order = shard order = global code order)
-                    dist = collectives.all_gather(
-                        dist, self.code_axis, concat_axis=2
-                    )                                             # (h, N, c)
+
+            if code_parallel:
+                # distance-materializing paths (stochastic sampling,
+                # topk/beam, CE/diversity losses, QINCo) need the full
+                # (N, c) row: gather the local column blocks over the code
+                # axis (column order = shard order = global code order)
+                dist = collectives.all_gather(
+                    dist, self.code_axis, concat_axis=2
+                )                                                 # (h, N, c)
 
             key = None
             if use_stochastic:
@@ -760,7 +760,27 @@ class Codebook(ModeModule):
 
         # --- gather / project quantized vectors ----------------------------
         if transformed_embed is not None:
-            if self.training:
+            if code_parallel:
+                # per-token transformed codebook holds LOCAL rows: each
+                # shard contributes its own columns, psum_exact reassembles
+                c_local = transformed_embed.shape[-2]
+                if self.training:
+                    local_cols = jax.lax.dynamic_slice_in_dim(
+                        embed_onehot, self._code_row0(), c_local, axis=-1
+                    )
+                else:
+                    local_cols = local_onehot_from_global(
+                        embed_ind_flat, c_local, self._code_row0()
+                    )
+                quantize_flat = collectives.psum_exact(
+                    jnp.einsum(
+                        'h n ... c, h n c d -> h n ... d',
+                        local_cols, transformed_embed,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ),
+                    self.code_axis,
+                )
+            elif self.training:
                 quantize_flat = jnp.einsum(
                     'h n ... c, h n c d -> h n ... d', embed_onehot, transformed_embed,
                     precision=jax.lax.Precision.HIGHEST,

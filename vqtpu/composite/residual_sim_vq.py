@@ -90,9 +90,20 @@ class ResidualSimVQ(ModeModule):
         dropout_mask = ind == -1
         ind = jnp.where(dropout_mask, 0, ind)
 
-        all_codes = jax.vmap(
-            lambda cb, i: jnp.take(cb, i, axis=0), in_axes=(0, 2)
-        )(self.codebooks, ind)                               # (q, b, n, d)
+        layer0 = self.layers[0]
+        if getattr(layer0, 'code_axis', None) is not None \
+                and layer0._code_parallel():
+            # row-sharded frozen codebooks: psum'd sharded gather per layer
+            from ..parallel.shard import sharded_gather_codes
+
+            all_codes = jax.vmap(
+                lambda cb, i: sharded_gather_codes(cb, i, layer0.code_axis),
+                in_axes=(0, 2),
+            )(self.codebooks, ind)                           # (q, b, n, d)
+        else:
+            all_codes = jax.vmap(
+                lambda cb, i: jnp.take(cb, i, axis=0), in_axes=(0, 2)
+            )(self.codebooks, ind)                           # (q, b, n, d)
 
         all_codes = jnp.where(
             jnp.moveaxis(dropout_mask, -1, 0)[..., None], 0.0, all_codes

@@ -224,6 +224,14 @@ class ResidualVQ(ModeModule):
                 )
                 for _ in range(num_quantizers - 1)
             ])
+            layer_code_axis = getattr(first(self.layers), 'code_axis', None)
+            if isinstance(layer_code_axis, str):
+                # row-sharded codebooks: the replicated QINCo MLPs see only
+                # their shard's rows in the forward, so their grads are
+                # per-shard partials — declare them for the trainer's psum
+                # (vqtpu.parallel.tp protocol)
+                self.code_axis = layer_code_axis
+                self._code_partial_grad_submodules = ('mlps',)
         else:
             self.mlps = None
 
@@ -276,11 +284,28 @@ class ResidualVQ(ModeModule):
         dropout_mask = ind == -1
         ind = jnp.where(dropout_mask, 0, ind)
 
+        # inside a mesh binding the layers' code_axis, each codebook leaf
+        # holds its LOCAL rows and every gather goes through the psum'd
+        # sharded lookup
+        code_axis = getattr(self.layers[0], 'code_axis', None)
+        code_parallel = (
+            code_axis is not None
+            and self.layers[0]._codebook._code_parallel()
+        )
+
         if not self.implicit_neural_codebook and self.uniform_codebook_size:
             stacked = self.codebooks                              # (q, c, d)
-            all_codes = jax.vmap(
-                lambda cb, i: jnp.take(cb, i, axis=0), in_axes=(0, 2)
-            )(stacked, ind)                                       # (q, b, n, d)
+            if code_parallel:
+                from ..parallel.shard import sharded_gather_codes
+
+                all_codes = jax.vmap(
+                    lambda cb, i: sharded_gather_codes(cb, i, code_axis),
+                    in_axes=(0, 2),
+                )(stacked, ind)                                   # (q, b, n, d)
+            else:
+                all_codes = jax.vmap(
+                    lambda cb, i: jnp.take(cb, i, axis=0), in_axes=(0, 2)
+                )(stacked, ind)                                   # (q, b, n, d)
         else:
             mlps = (None, *(self.mlps or ())) if self.implicit_neural_codebook \
                 else (None,) * self.num_quantizers
@@ -288,15 +313,39 @@ class ResidualVQ(ModeModule):
             if isinstance(codebooks, jax.Array):
                 codebooks = tuple(codebooks)
 
+            if code_parallel:
+                from ..parallel import collectives
+                from ..parallel.shard import (
+                    local_onehot_from_global, sharded_gather_codes,
+                )
+
             all_codes = []
             quantized_out = 0.0
             for q, (codes, maybe_mlp) in enumerate(zip(codebooks, mlps)):
                 layer_ind = ind[..., q]                           # (b, n)
                 if maybe_mlp is not None:
                     transformed = maybe_mlp(codes, condition=quantized_out)
-                    layer_codes = jnp.take_along_axis(
-                        transformed, layer_ind[..., None, None], axis=-2
-                    )[..., 0, :]
+                    if code_parallel:
+                        c_local = transformed.shape[-2]
+                        row0 = jax.lax.axis_index(code_axis) * c_local
+                        oh = local_onehot_from_global(
+                            layer_ind, c_local, row0
+                        )                                         # (b, n, c_l)
+                        layer_codes = collectives.psum_exact(
+                            jnp.einsum(
+                                '... c, ... c d -> ... d', oh, transformed,
+                                precision=jax.lax.Precision.HIGHEST,
+                            ),
+                            code_axis,
+                        )
+                    else:
+                        layer_codes = jnp.take_along_axis(
+                            transformed, layer_ind[..., None, None], axis=-2
+                        )[..., 0, :]
+                elif code_parallel:
+                    layer_codes = sharded_gather_codes(
+                        codes, layer_ind, code_axis
+                    )
                 else:
                     layer_codes = jnp.take(codes, layer_ind, axis=0)
                 all_codes.append(layer_codes)

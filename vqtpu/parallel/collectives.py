@@ -24,6 +24,13 @@ import jax.numpy as jnp
 
 
 def psum(x, axis: str | None):
+    """Plain psum. Gradient semantics under shard_map(check_vma=False):
+    the transpose is another psum — i.e. cotangents are summed across the
+    axis, exactly matching torch.distributed.nn.all_reduce's backward
+    (what the reference uses for the LFQ entropy loss,
+    lookup_free_quantization.py:37-43). For tensor-parallel lookups, whose
+    contract is 'replicated cotangent flows to each partial', use
+    `psum_exact` instead."""
     if axis is None:
         return x
     return jax.lax.psum(x, axis_name=axis)
