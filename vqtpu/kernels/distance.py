@@ -445,17 +445,19 @@ def nearest_code(
         d_pad = _round_up(d_, 128)
         # scores VMEM scales as block_n * c: cap block_n * c_pad * 4 <= 8MB
         # (c=2048 with bn=2048 fails Mosaic compile at 16MB of scores)
+        # n >= 2^18: at composite-scale token counts (65k) the XLA
+        # formulation fuses into the surrounding graph and wins instead
+        # (GroupedResidualVQ measured 4.45 -> 6.54 ms when Pallas was
+        # allowed at n=65k; at n=1M Pallas wins 8-60%)
         if (
             on_tpu
             and 512 <= c_pad <= 1024
             and d_pad <= 256
+            and n_ >= (1 << 18)
         ):
             bn = 4096 if c_pad * 4096 * 4 <= 8 * 1024 * 1024 else 2048
-            if n_ >= 2 * bn:
-                backend = 'pallas'
-                block_n = bn
-            else:
-                backend = 'xla'
+            backend = 'pallas'
+            block_n = bn
         else:
             backend = 'xla'
     if backend == 'xla' or (not on_tpu and not use_interpret):
