@@ -511,3 +511,84 @@ def test_qinco_gradient_parity():
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=5e-5,
                                    err_msg=str(k))
+
+
+@pytest.mark.parametrize('world', [2, 4, 8])
+def test_code_sharded_world_sizes(world):
+    """TP parity must hold for any axis size, not just 8."""
+    mesh = Mesh(np.array(jax.devices()[:world]).reshape(world), ('code',))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8, 32))
+    ref, outs_ref = _run_unsharded(x, 2)
+
+    vq = VectorQuantize(dim=32, codebook_size=64, code_axis='code',
+                        rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(vq)
+    specs = codebook_pspecs(state, vq)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        q, ind, loss = m(batch)
+        _, new_state = nnx.split(m)
+        return new_state, q, ind
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(specs, P(), P()), check_vma=False,
+    ))
+    for i in range(2):
+        state, q, ind = step(state, x[i])
+        assert (np.asarray(ind) == np.asarray(outs_ref[i][1])).all(), world
+        np.testing.assert_allclose(
+            np.asarray(q), np.asarray(outs_ref[i][0]), atol=2e-6)
+
+
+def test_zoo_wrappers_accept_code_axis():
+    """code_axis rides the kwargs of every codebook-bearing wrapper in the
+    zoo: RandomProjectionQuantizer, HierarchicalVQ, GroupedResidualVQ —
+    each runs inside the mesh and round-trips."""
+    from vqtpu import (
+        GroupedResidualVQ, HierarchicalVQ, RandomProjectionQuantizer,
+    )
+
+    mesh = _code_mesh()
+
+    def run(module, x, **call_kw):
+        graphdef, state = nnx.split(module)
+        specs = codebook_pspecs(state, module)
+        n_sharded = sum(
+            1 for s in jax.tree.leaves(
+                specs, is_leaf=lambda s: isinstance(s, P))
+            if any(ax == 'code' for ax in s))
+        assert n_sharded > 0, type(module).__name__
+
+        def body(state, batch):
+            m = nnx.merge(graphdef, state)
+            out = m(batch, **call_kw)
+            _, new_state = nnx.split(m)
+            return new_state, out
+
+        step = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(specs, P()),
+            out_specs=(specs, P()), check_vma=False,
+        ))
+        return step(state, x)
+
+    rpq = RandomProjectionQuantizer(
+        dim=32, codebook_size=64, codebook_dim=16, code_axis='code',
+        rngs=nnx.Rngs(0))
+    _, ind = run(rpq, jax.random.normal(jax.random.PRNGKey(0), (2, 10, 32)))
+    assert int(np.asarray(ind).max()) < 64
+
+    hq = HierarchicalVQ(
+        dim=16, codebook_size=64, scales=(1, 2, 4), accept_image_fmap=True,
+        kmeans_init=False, code_axis='code', rngs=nnx.Rngs(0))
+    _, out = run(hq, jax.random.normal(jax.random.PRNGKey(1), (2, 16, 4, 4)))
+    q = out[0]
+    assert np.isfinite(np.asarray(q)).all()
+
+    gvq = GroupedResidualVQ(
+        dim=32, num_quantizers=2, codebook_size=64, groups=2,
+        code_axis='code', rngs=nnx.Rngs(0))
+    _, out = run(gvq, jax.random.normal(jax.random.PRNGKey(2), (2, 10, 32)))
+    qg = out[0]
+    assert np.isfinite(np.asarray(qg)).all()

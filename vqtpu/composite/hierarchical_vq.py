@@ -89,6 +89,7 @@ class HierarchicalVQ(ModeModule):
         share_quant_resi: int = 1,
         accept_image_fmap: bool = False,
         rngs: nnx.Rngs | None = None,
+        **vq_kwargs,
     ):
         if rngs is None:
             rngs = nnx.Rngs(0)
@@ -118,6 +119,9 @@ class HierarchicalVQ(ModeModule):
             orthogonal_reg_max_codes=orthogonal_reg_max_codes,
             orthogonal_reg_active_codes_only=orthogonal_reg_active_codes_only,
             accept_image_fmap=True,
+            # extra VectorQuantize options (e.g. sync_axis for data-parallel
+            # EMA stats, code_axis for row-sharded codebooks)
+            **vq_kwargs,
             rngs=rngs,
         )
 
