@@ -29,7 +29,7 @@ from common import train_loop
 
 
 def main(train_iter=1000, lr=3e-4, dim=32, num_codes=256, seed=1234,
-         alpha=10.0, batch_size=256):
+         alpha=10.0, batch_size=256, diversity_weight=0.0):
     rngs = nnx.Rngs(seed)
     # inner width 256 over codebook dim 32 + register tokens: the
     # hyperparameters the reference example found critical
@@ -42,6 +42,10 @@ def main(train_iter=1000, lr=3e-4, dim=32, num_codes=256, seed=1234,
         dim=dim, codebook_size=num_codes,
         vq_bridge=bridge, learnable_codebook=True, ema_update=False,
         rotation_trick=False,
+        # --diversity N (e.g. 0.5) counteracts the winner-take-all collapse
+        # of the reference-faithful config (default 0.0 keeps parity; see
+        # PARITY_FVQ.json — the reference collapses identically)
+        codebook_diversity_loss_weight=diversity_weight,
         in_place_codebook_optimizer=optax.sgd(1e-3), rngs=rngs,
     )
     model = SimpleQuantizeAutoEncoder(quantizer, dim=dim, rngs=rngs)
@@ -60,5 +64,9 @@ if __name__ == '__main__':
     p = argparse.ArgumentParser()
     p.add_argument('--train_iter', type=int, default=1000)
     p.add_argument('--batch_size', type=int, default=256)
+    p.add_argument('--diversity', type=float, default=0.0,
+                   help='codebook diversity loss weight; 0 = reference-'
+                        'faithful (collapses on easy data, PARITY_FVQ.json)')
     a = p.parse_args()
-    main(train_iter=a.train_iter, batch_size=a.batch_size)
+    main(train_iter=a.train_iter, batch_size=a.batch_size,
+         diversity_weight=a.diversity)

@@ -23,9 +23,7 @@ from flax import nnx
 
 from ..core.utils import (
     default,
-    exists,
     l2norm,
-    laplace_smoothing,
     pack_tokens,
     uniform_init,
 )
