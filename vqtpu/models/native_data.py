@@ -93,6 +93,8 @@ class PrefetchLoader:
 
         import queue as _queue
 
+        self._error = None
+
         def worker():
             rng = np.random.default_rng(seed)
             while not self._stop.is_set():
@@ -102,8 +104,9 @@ class PrefetchLoader:
                 )
                 try:
                     dataset.gather(idx, out)    # GIL released inside C
-                except Exception:
-                    return                       # dataset closed underneath us
+                except Exception as e:          # dataset closed / bad file —
+                    self._error = e             # surface it to the consumer
+                    return
                 batch = out[..., None]
                 if not channel_last:
                     batch = np.moveaxis(batch, -1, 1)
@@ -121,7 +124,19 @@ class PrefetchLoader:
         return self
 
     def __next__(self) -> np.ndarray:
-        return self._q.get()
+        import queue as _queue
+
+        # poll with a timeout so a dead worker raises instead of hanging
+        while True:
+            try:
+                return self._q.get(timeout=1.0)
+            except _queue.Empty:
+                if self._error is not None:
+                    raise RuntimeError(
+                        'prefetch worker died'
+                    ) from self._error
+                if not self._thread.is_alive():
+                    raise StopIteration
 
     def close(self):
         """Stop and JOIN the worker before the caller may close the
