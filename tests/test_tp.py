@@ -644,3 +644,58 @@ def test_tp_checkpoint_resume_trajectory():
     # restored codebook carried the full logical rows
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert snap['_codebook']['embed'].shape == (1, 256, 32)
+
+
+def test_2d_mesh_dp_tp_parity_vs_unsharded():
+    """Data AND code sharding simultaneously: a (data=2, code=4) mesh with
+    psum'd EMA stats + row-sharded codebook must reproduce the single-device
+    engine EXACTLY on the deterministic feature set (plain EMA; the
+    distributed kmeans/expiry candidate draws differ from single-device by
+    design — covered by the quality-parity tests), and stay healthy with
+    kmeans + expiry on."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (3, 16, 8, 32))
+
+    # --- exact parity: plain EMA over 3 steps ---
+    ref = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    ref_out = []
+    for i in range(3):
+        _, ind, _ = ref(x[i])
+        ref_out.append(np.asarray(ind))
+
+    mesh = make_mesh(('data', 'code'), shape=(2, 4))
+
+    def run_2d(**kw):
+        tp = VectorQuantize(dim=32, codebook_size=64, sync_axis='data',
+                            code_axis='code', rngs=nnx.Rngs(0), **kw)
+        graphdef, state = nnx.split(tp)
+        specs = codebook_pspecs(state, tp)
+
+        def body(state, batch):
+            m = nnx.merge(graphdef, state)
+            q, ind, loss = m(batch)
+            _, new_state = nnx.split(m)
+            return new_state, ind
+
+        step = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(specs, P('data')),
+            out_specs=(specs, P('data')), check_vma=False,
+        ))
+        inds = []
+        for i in range(3):
+            state, ind = step(state, x[i])
+            inds.append(np.asarray(ind))
+        return nnx.merge(graphdef, state), inds
+
+    tp, inds = run_2d()
+    for i in range(3):
+        assert (inds[i] == ref_out[i]).all(), f'step {i}'
+    np.testing.assert_allclose(
+        np.asarray(tp._codebook.embed[...]),
+        np.asarray(ref._codebook.embed[...]), atol=2e-6)
+
+    # --- behavioral health: kmeans + expiry on the same 2D mesh ---
+    tp2, _ = run_2d(kmeans_init=True, kmeans_iters=3,
+                    threshold_ema_dead_code=0.5)
+    cs = np.asarray(tp2._codebook.cluster_size[...])
+    assert np.isfinite(cs).all() and cs.sum() > 0
+    assert tp2._codebook.embed[...].shape == (1, 64, 32)
