@@ -28,6 +28,7 @@ def gumbel_sample(
     straight_through: bool = False,
     training: bool = True,
     topk: int | None = None,
+    approx_topk: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Select codes from a (..., c) logit tensor.
 
@@ -37,6 +38,11 @@ def gumbel_sample(
       - gumbel-perturbed stochastic sampling (`stochastic=True`, temp > 0)
       - top-k (beam) selection (`topk=k`): indices (..., k), one_hot (..., k, c)
       - straight-through softmax relaxation (`straight_through=True`)
+
+    `approx_topk=True` swaps the exact `lax.top_k` (a full sort per row on
+    TPU — the dominant cost of beam search over wide codebooks) for
+    `lax.approx_max_k` (TPU-native partial reduction, recall_target=0.95) —
+    candidate sets may differ from the exact beam near score ties.
     """
     dtype, size = logits.dtype, logits.shape[-1]
 
@@ -49,7 +55,13 @@ def gumbel_sample(
         sampling_logits = logits
 
     if topk is not None:
-        _, ind = jax.lax.top_k(sampling_logits, topk)
+        if approx_topk:
+            _, ind = jax.lax.approx_max_k(
+                sampling_logits, topk, recall_target=0.95
+            )
+            ind = ind.astype(jnp.int32)
+        else:
+            _, ind = jax.lax.top_k(sampling_logits, topk)
     else:
         ind = jnp.argmax(sampling_logits, axis=-1)
 

@@ -96,6 +96,7 @@ class VectorQuantize(ModeModule):
         codebook_diversity_temperature: float = 100.0,
         stochastic_sample_codes: bool = False,
         sample_codebook_temp: float = 1.0,
+        approx_topk: bool = False,
         straight_through: bool = False,
         rotation_trick: bool | None = None,
         directional_reparam: bool = False,
@@ -214,10 +215,14 @@ class VectorQuantize(ModeModule):
         self.stochastic_sample_codes = stochastic_sample_codes
         self.sample_codebook_temp = sample_codebook_temp
 
+        # approx_topk: TPU-native approx_max_k for the beam/topk path — the
+        # exact lax.top_k is a full sort per row and dominates beam-search
+        # cost at wide codebooks (~1s / 8k tokens at c=1024, beam 4)
         gumbel_sample_fn = partial(
             gumbel_sample,
             stochastic=stochastic_sample_codes,
             straight_through=straight_through,
+            approx_topk=approx_topk,
         )
 
         if affine_param:
