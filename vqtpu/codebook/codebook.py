@@ -783,21 +783,20 @@ class Codebook(ModeModule):
                     'h n ... c, h n c d -> h n ... d', embed_onehot, transformed_embed,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-            elif topk is not None:
-                # eval beam: select k rows per token from the per-token
-                # transformed codebook (the reference's eval gather cannot
-                # handle the topk dim at all)
-                quantize_flat = jnp.take_along_axis(
-                    transformed_embed,                            # (h, N, c, d)
-                    embed_ind_flat[..., None],                    # (h, N, k, 1)
-                    axis=-2,
-                )                                                 # (h, N, k, d)
             else:
-                quantize_flat = jnp.take_along_axis(
-                    transformed_embed,
-                    embed_ind_flat[..., None, None],
-                    axis=-2,
-                )[..., 0, :]
+                # eval: select rows from the per-token transformed codebook
+                # via a one-hot contraction (XLA's take_along_axis lowering
+                # is per-element gather — the pathology behind the 23x beam
+                # fix; the one-hot matmul at HIGHEST is bit-exact). Handles
+                # the topk dim too (the reference's eval gather cannot).
+                oh = jax.nn.one_hot(
+                    embed_ind_flat, transformed_embed.shape[-2],
+                    dtype=jnp.float32,
+                )                                   # (h, N[, k], c)
+                quantize_flat = jnp.einsum(
+                    'h n ... c, h n c d -> h n ... d', oh, transformed_embed,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
         elif self.training and embed_onehot is not None:
             if code_parallel:
                 # each shard contributes its own columns; psum_exact (the

@@ -59,11 +59,17 @@ def _cross_entropy_ignore_index(
     logits: jax.Array, targets: jax.Array, ignore_index: int = -1
 ) -> jax.Array:
     """Mean cross entropy over entries whose target != ignore_index.
-    logits: (..., c) over the last axis; targets: (...)."""
+    logits: (..., c) over the last axis; targets: (...).
+
+    The target pick is a one-hot contraction, not take_along_axis: XLA's
+    per-element gather lowering costs ~12 ms per 1M elements on TPU
+    (BASELINE.md round-2 notes) while the multiply-sum fuses into the
+    log_softmax."""
     valid = targets != ignore_index
     safe_targets = jnp.where(valid, targets, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(safe_targets, logits.shape[-1], dtype=logp.dtype)
+    nll = -(logp * onehot).sum(axis=-1)
     return masked_mean(nll, valid)
 
 
