@@ -320,3 +320,34 @@ def test_eval_beam_with_qinco_round_trip():
     assert jnp.isfinite(q).all()
     dec = rvq.get_output_from_indices(i)
     assert jnp.allclose(dec, q, atol=1e-4)
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_batch_select_matches_numpy_oracle(seed):
+    """_batch_select (one-hot contraction beam prune — the 23x fix) must
+    be exact against a numpy gather oracle for float and int payloads,
+    arbitrary trailing shapes."""
+    import numpy as np
+    from vqtpu.composite.residual_vq import _batch_select
+
+    rng = np.random.default_rng(seed)
+    b, n = int(rng.integers(1, 5)), int(rng.integers(1, 60))
+    j = int(rng.integers(2, 20))
+    k = int(rng.integers(1, j + 1))
+    trail = tuple(rng.integers(1, 6, size=rng.integers(0, 3)))
+
+    t = rng.standard_normal((b, n, j, *trail)).astype(np.float32)
+    ti = rng.integers(-50, 50, size=(b, n, j, *trail)).astype(np.int32)
+    idx = rng.integers(0, j, size=(b, n, k)).astype(np.int32)
+
+    def oracle(arr):
+        out = np.empty((b, n, k, *trail), arr.dtype)
+        for a in range(b):
+            for m in range(n):
+                out[a, m] = arr[a, m][idx[a, m]]
+        return out
+
+    got = np.asarray(_batch_select(jnp.asarray(t), jnp.asarray(idx)))
+    assert np.array_equal(got, oracle(t)), (b, n, j, k, trail)
+    goti = np.asarray(_batch_select(jnp.asarray(ti), jnp.asarray(idx)))
+    assert np.array_equal(goti, oracle(ti)), (b, n, j, k, trail, 'int')
