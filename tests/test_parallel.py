@@ -354,3 +354,99 @@ def test_sharded_training_is_deterministic():
 
     a, b = run(), run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_axis_is_bound_survives_probe_api_removal(monkeypatch):
+    """axis_is_bound must fall back gracefully if a jax upgrade removes the
+    private axis-names probe AND changes the unbound-axis exception type
+    (r2 advisor finding): out-of-mesh use (checkpointing, decode) must
+    report False, in-mesh use True."""
+    from vqtpu.parallel import collectives
+
+    def gone(*a, **k):
+        raise AttributeError('API removed')
+
+    monkeypatch.setattr(
+        jax.core, 'unsafe_get_axis_names_DO_NOT_USE', gone, raising=False
+    )
+
+    # out of any mesh: must be False, not an exception — even if lax.axis_size
+    # raises something other than NameError
+    assert collectives.axis_is_bound(None) is False
+    assert collectives.axis_is_bound('code') is False
+
+    # inside a shard_map binding the axis: must be True
+    mesh = make_mesh(('data',))
+
+    def body(x):
+        flag = collectives.axis_is_bound('data')
+        return x + (1.0 if flag else 0.0)
+
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False,
+    ))(jnp.zeros(()))
+    assert float(out) == 1.0
+
+
+def test_grad_collectives_semantics():
+    """Unit semantics of the gradient-correct collectives: all_gather_exact's
+    transpose hands each shard its own block unscaled; psum_in_bwd psums the
+    cotangent; slice_local_cols scatters + psums to a replicated full
+    cotangent. (The plain all_gather transpose is psum_scatter — with a
+    replicated cotangent it would scale each block by the axis size.)"""
+    from vqtpu.parallel import collectives
+    from vqtpu.parallel.shard import slice_local_cols
+
+    mesh = make_mesh(('code',))
+    world = 8
+    x = jnp.arange(world * 2, dtype=jnp.float32).reshape(world, 2)
+    w = jnp.arange(world * 2, dtype=jnp.float32).reshape(world * 2) + 1.0
+
+    def body(xs):
+        # xs: (1, 2) local block
+        def f(v):
+            full = collectives.all_gather_exact(v, 'code', concat_axis=0)
+            # replicated loss of the gathered value
+            return (full.reshape(-1) * w).sum()
+
+        g = jax.grad(f)(xs)
+        return g
+
+    g = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P('code'), out_specs=P('code'),
+        check_vma=False,
+    ))(x)
+    # each shard's block cotangent = its own w slice, UNSCALED
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w.reshape(world, 2)))
+
+    def body2(rep):
+        # rep: replicated (world*2,) vector; each shard consumes only its
+        # own slice -> psum_in_bwd reassembles the full gradient
+        def f(v):
+            v = collectives.psum_in_bwd(v, 'code')
+            i = jax.lax.axis_index('code')
+            mine = jax.lax.dynamic_slice_in_dim(v, i * 2, 2)
+            return (mine * jax.lax.dynamic_slice_in_dim(w, i * 2, 2)).sum()
+
+        return jax.grad(f)(rep)
+
+    g2 = jax.jit(jax.shard_map(
+        body2, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False,
+    ))(jnp.zeros(world * 2))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(w))
+
+    def body3(rep):
+        # slice_local_cols over the last axis of a replicated (3, c) tensor
+        def f(v):
+            mine = slice_local_cols(v, 2, 'code')     # (3, 2)
+            i = jax.lax.axis_index('code')
+            ww = jax.lax.dynamic_slice_in_dim(w, i * 2, 2)
+            return (mine * ww[None, :]).sum()
+
+        return jax.grad(f)(rep)
+
+    g3 = jax.jit(jax.shard_map(
+        body3, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False,
+    ))(jnp.zeros((3, world * 2)))
+    np.testing.assert_allclose(
+        np.asarray(g3), np.broadcast_to(np.asarray(w), (3, world * 2)))

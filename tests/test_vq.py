@@ -403,3 +403,105 @@ def test_vq_manual_ema_update():
     vq2(x)
     np.testing.assert_allclose(
         np.array(vq.codebook), np.array(vq2.codebook), atol=1e-5)
+
+
+# -- bf16 serving tier (module-level; kernel-level test lives in test_core) --
+
+def _bf16_round(a):
+    return jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def test_vq_bf16_tier_eval_exact_wrt_bf16_values():
+    """`VectorQuantize(quantize_tier='bf16')` eval forward must return
+    EXACTLY the bf16-cast codebook rows at the returned indices, and the
+    indices must agree with the exact tier on the same (bf16-rounded)
+    values except at floating-point near-ties (the tier's documented
+    contract; kernels/distance.py:quantize_lookup)."""
+    kw = dict(dim=32, codebook_size=64)
+    vq = VectorQuantize(**kw, rngs=nnx.Rngs(0)).eval()
+    vqb = VectorQuantize(quantize_tier='bf16', **kw, rngs=nnx.Rngs(0)).eval()
+
+    e = _bf16_round(vq._codebook.embed[...])
+    vq._codebook.embed.value = e
+    vqb._codebook.embed.value = e
+    x = _bf16_round(jax.random.normal(jax.random.PRNGKey(3), (2, 4096, 32)))
+
+    q, idx, _ = vq(x)
+    qb, idxb, _ = vqb(x)
+
+    # lookup exactness: rows ARE the bf16 codebook rows (f32-cast, lossless)
+    eb = np.asarray(e)[0]
+    np.testing.assert_array_equal(
+        np.asarray(qb), eb[np.asarray(idxb)])
+
+    # selection parity vs the exact tier, near-ties excepted
+    agree = np.asarray(idx == idxb)
+    if not agree.all():
+        assert agree.mean() > 0.999, agree.mean()
+        d2 = ((np.asarray(x)[..., None, :] - eb) ** 2).sum(-1)
+        picked = np.take_along_axis(
+            d2, np.asarray(idxb)[..., None], axis=-1)[..., 0]
+        best = np.take_along_axis(
+            d2, np.asarray(idx)[..., None], axis=-1)[..., 0]
+        gap = np.abs(picked - best)[~agree]
+        assert (gap <= 1e-3 * np.abs(best[~agree]).max()).all(), gap.max()
+
+    # decode on the tier: bf16 codebook rows, round-trips the forward
+    dec = vqb.get_output_from_indices(idxb)
+    np.testing.assert_array_equal(
+        np.asarray(dec, dtype=np.float32), np.asarray(qb))
+
+
+def test_vq_bf16_tier_training_runs_exact_path():
+    """Training forwards and EMA statistics ALWAYS run the exact tier —
+    a bf16-tier module must produce bit-identical post-step codebook state
+    to an exact-tier module."""
+    kw = dict(dim=16, codebook_size=32, decay=0.8)
+    vq = VectorQuantize(**kw, rngs=nnx.Rngs(0))
+    vqb = VectorQuantize(quantize_tier='bf16', **kw, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 64, 16))
+
+    q, idx, loss = vq(x)
+    qb, idxb, lossb = vqb(x)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idxb))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(qb))
+    np.testing.assert_array_equal(
+        np.asarray(vq.codebook), np.asarray(vqb.codebook))
+    np.testing.assert_array_equal(
+        np.asarray(vq._codebook.cluster_size[...]),
+        np.asarray(vqb._codebook.cluster_size[...]))
+
+
+def test_vq_bf16_tier_with_projection_and_heads():
+    """The tier composes with project_in/out and multi-head codebooks
+    (the vmap'd per-head bf16 pipeline)."""
+    vq = VectorQuantize(
+        dim=48, codebook_dim=16, codebook_size=64, heads=2,
+        separate_codebook_per_head=True, quantize_tier='bf16',
+        rngs=nnx.Rngs(0),
+    ).eval()
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 128, 48))
+    q, idx, _ = vq(x)
+    assert q.shape == x.shape and q.dtype == x.dtype
+    assert idx.shape == (2, 128, 2)
+    np.testing.assert_allclose(
+        np.asarray(vq.get_output_from_indices(idx), np.float32),
+        np.asarray(q), atol=1e-6)
+
+
+def test_residual_vq_inherits_bf16_tier():
+    """Composites forward **vq_kwargs, so the tier knob reaches every
+    layer's codebook."""
+    from vqtpu.composite.residual_vq import ResidualVQ
+
+    rvq = ResidualVQ(
+        dim=32, num_quantizers=3, codebook_size=64,
+        quantize_tier='bf16', rngs=nnx.Rngs(0),
+    ).eval()
+    for layer in rvq.layers:
+        assert layer._codebook.quantize_tier == 'bf16'
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 64, 32))
+    q, idx, _ = rvq(x)
+    np.testing.assert_allclose(
+        np.asarray(rvq.get_output_from_indices(idx)),
+        np.asarray(q), atol=1e-5)

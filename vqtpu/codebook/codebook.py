@@ -29,12 +29,13 @@ from ..core.utils import (
 )
 from ..core.sampling import gumbel_sample, masked_sample_vectors, masked_sample_indices
 from ..core import utils as U
-from ..kernels.distance import nearest_code, gather_codes
+from ..kernels.distance import nearest_code, gather_codes, quantize_lookup
 from ..parallel import collectives
 from ..parallel.shard import (
     local_onehot_from_global,
     sharded_gather_codes,
     sharded_nearest_code,
+    slice_local_cols,
 )
 from .kmeans import kmeans
 from ..core.module import ModeModule
@@ -112,6 +113,7 @@ class Codebook(ModeModule):
         use_pallas: bool = True,
         stat_precision=jax.lax.Precision.HIGHEST,
         code_axis: str | None = None,
+        quantize_tier: str = 'exact',
         rngs: nnx.Rngs,
     ):
         self.dim = dim
@@ -143,6 +145,19 @@ class Codebook(ModeModule):
             'across codes) and cannot run on row-sharded state'
         )
         self.code_axis = code_axis
+
+        # serving/eval throughput tier (kernels.distance.quantize_lookup):
+        # 'exact' = f32 selection + bit-exact lookup (default); 'bf16' =
+        # eval-time selection and lookup on bfloat16-cast operands with f32
+        # accumulation — EXACT w.r.t. the bf16 values, 2 MXU passes instead
+        # of 4 (measured 1.9-2.8x at c<=512 on v5e, BASELINE.md). Training
+        # forwards and EMA statistics always run the exact path.
+        assert quantize_tier in ('exact', 'bf16'), quantize_tier
+        assert not (quantize_tier == 'bf16' and code_axis is not None), (
+            'the bf16 tier is not supported on row-sharded (code_axis) '
+            'codebooks yet — the sharded selection reduction is f32'
+        )
+        self.quantize_tier = quantize_tier
         # precision of the matmuls feeding persistent EMA state. HIGHEST is
         # bit-exact on TPU (one-hot operand; 3 bf16 passes) and the default;
         # DEFAULT trades ~25% training-forward time for bf16-rounded stats
@@ -675,9 +690,19 @@ class Codebook(ModeModule):
         metric = 'cosine' if self.use_cosine_sim else 'euclidean'
         transformed_embed = None
         dist = None
+        tier_quantize_flat = None
         code_parallel = self._code_parallel()
 
-        if fast_path:
+        if fast_path and not self.training and self.quantize_tier == 'bf16':
+            # eval/serving bf16 tier: fused selection + lookup on bf16-cast
+            # operands (2 MXU passes; exact w.r.t. the bf16 values). Indices
+            # may differ from the exact tier near f32-level ties — that is
+            # the documented contract of the tier.
+            embed_ind_flat, tier_quantize_flat = jax.vmap(
+                lambda xs, es: quantize_lookup(xs, es, metric, tier='bf16')
+            )(flatten, embed)
+            embed_onehot = None
+        elif fast_path:
             if code_parallel:
                 # local fused selection + cross-shard (score, index) argmax
                 # reduction over the code axis (parallel.shard)
@@ -692,6 +717,17 @@ class Codebook(ModeModule):
                 )                                                 # (h, N)
             embed_onehot = None
         else:
+            # row-sharded distance computations see only this shard's
+            # columns, so the per-shard gradient contribution to the
+            # (replicated) token tensor is partial — psum_in_bwd
+            # re-assembles the full replicated gradient (ADVICE r2: the
+            # all_gather'd dist feeding differentiable losses inflated and
+            # de-replicated encoder gradients)
+            flatten_d = (
+                collectives.psum_in_bwd(flatten, self.code_axis)
+                if code_parallel
+                else flatten
+            )
             if codebook_transform_fn is not None:
                 # implicit neural codebook (QINCo): per-token transformed
                 # codebook (reference vector_quantize_pytorch.py:729-738).
@@ -710,11 +746,11 @@ class Codebook(ModeModule):
                 if self.use_cosine_sim:
                     transformed = l2norm(transformed)
                     dist = jnp.einsum(
-                        'hnd,hncd->hnc', flatten, transformed,
+                        'hnd,hncd->hnc', flatten_d, transformed,
                         preferred_element_type=jnp.float32,
                     )
                 else:
-                    diff = flatten[..., None, :] - transformed
+                    diff = flatten_d[..., None, :] - transformed
                     dist = -jnp.sqrt(
                         jnp.maximum((diff ** 2).sum(axis=-1), 1e-12)
                     )
@@ -725,18 +761,23 @@ class Codebook(ModeModule):
             else:
                 if self.use_cosine_sim:
                     dist = jnp.einsum(
-                        'hnd,hcd->hnc', flatten, embed,
+                        'hnd,hcd->hnc', flatten_d, embed,
                         preferred_element_type=jnp.float32,
                     )
                 else:
-                    dist = -U.cdist(flatten, embed)
+                    dist = -U.cdist(flatten_d, embed)
 
             if code_parallel:
                 # distance-materializing paths (stochastic sampling,
                 # topk/beam, CE/diversity losses, QINCo) need the full
                 # (N, c) row: gather the local column blocks over the code
-                # axis (column order = shard order = global code order)
-                dist = collectives.all_gather(
+                # axis (column order = shard order = global code order).
+                # all_gather_exact: the gathered dist feeds losses computed
+                # identically on every shard (replicated cotangent), so the
+                # transpose must hand each shard its OWN column block
+                # unscaled — the plain all_gather transpose (psum_scatter)
+                # scales it by the axis size
+                dist = collectives.all_gather_exact(
                     dist, self.code_axis, concat_axis=2
                 )                                                 # (h, N, c)
 
@@ -757,14 +798,16 @@ class Codebook(ModeModule):
             embed_ind = unpack(embed_ind_flat)                    # (h, b, n)
 
         # --- gather / project quantized vectors ----------------------------
-        if transformed_embed is not None:
+        if tier_quantize_flat is not None:
+            quantize_flat = tier_quantize_flat
+        elif transformed_embed is not None:
             if code_parallel:
                 # per-token transformed codebook holds LOCAL rows: each
                 # shard contributes its own columns, psum_exact reassembles
                 c_local = transformed_embed.shape[-2]
                 if self.training:
-                    local_cols = jax.lax.dynamic_slice_in_dim(
-                        embed_onehot, self._code_row0(), c_local, axis=-1
+                    local_cols = slice_local_cols(
+                        embed_onehot, c_local, self.code_axis
                     )
                 else:
                     local_cols = local_onehot_from_global(
@@ -803,8 +846,8 @@ class Codebook(ModeModule):
                 # identity-transpose psum) re-assembles the differentiable
                 # lookup without the axis-size gradient inflation
                 c_local = embed.shape[1]
-                local_cols = jax.lax.dynamic_slice_in_dim(
-                    embed_onehot, self._code_row0(), c_local, axis=-1
+                local_cols = slice_local_cols(
+                    embed_onehot, c_local, self.code_axis
                 )
                 quantize_flat = collectives.psum_exact(
                     jnp.einsum(

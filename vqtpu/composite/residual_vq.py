@@ -304,8 +304,20 @@ class ResidualVQ(ModeModule):
             and self.layers[0]._codebook._code_parallel()
         )
 
+        # bf16 serving tier: the layers' eval forward quantizes to the
+        # bf16-cast codebook rows, so decode must gather the SAME rounded
+        # values (f32-represented, lossless) for the round-trip to be exact
+        tier_bf16 = (
+            getattr(self.layers[0], 'quantize_tier', 'exact') == 'bf16'
+        )
+
+        def _tier(cb):
+            if tier_bf16:
+                return cb.astype(jnp.bfloat16).astype(cb.dtype)
+            return cb
+
         if not self.implicit_neural_codebook and self.uniform_codebook_size:
-            stacked = self.codebooks                              # (q, c, d)
+            stacked = _tier(self.codebooks)                       # (q, c, d)
             if code_parallel:
                 from ..parallel.shard import sharded_gather_codes
 
@@ -355,10 +367,10 @@ class ResidualVQ(ModeModule):
                         )[..., 0, :]
                 elif code_parallel:
                     layer_codes = sharded_gather_codes(
-                        codes, layer_ind, code_axis
+                        _tier(codes), layer_ind, code_axis
                     )
                 else:
-                    layer_codes = jnp.take(codes, layer_ind, axis=0)
+                    layer_codes = jnp.take(_tier(codes), layer_ind, axis=0)
                 all_codes.append(layer_codes)
                 quantized_out = quantized_out + layer_codes
             all_codes = jnp.stack(all_codes)                      # (q, b, n, d)

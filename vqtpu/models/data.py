@@ -105,6 +105,15 @@ def image_batches(batch_size: int = 256, seed: int = 0, channel_last: bool = Tru
             native, batch_size, seed=seed, channel_last=channel_last
         )
         yield from loader
+        # the prefetch loader is an INFINITE stream: reaching here means the
+        # worker died without recording an error. Falling through to another
+        # source would silently change the training data distribution
+        # mid-run (r2 advisor finding) — fail loudly instead.
+        raise RuntimeError(
+            'native IDX prefetch loader terminated unexpectedly '
+            '(worker thread exited without an error); refusing to fall '
+            'back to a different data source mid-iteration'
+        )
 
     data = _try_fashion_mnist()
     if data is None:

@@ -67,6 +67,73 @@ def psum_exact(x, axis: str | None):
     return _psum_exact(x, axis)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _all_gather_exact(x, axis: str, concat_axis: int):
+    return jax.lax.all_gather(x, axis_name=axis, tiled=True, axis=concat_axis)
+
+
+def _all_gather_exact_fwd(x, axis, concat_axis):
+    return _all_gather_exact(x, axis, concat_axis), x.shape[concat_axis]
+
+
+def _all_gather_exact_bwd(axis, concat_axis, local_size, g):
+    row0 = jax.lax.axis_index(axis) * local_size
+    return (
+        jax.lax.dynamic_slice_in_dim(g, row0, local_size, axis=concat_axis),
+    )
+
+
+_all_gather_exact.defvjp(_all_gather_exact_fwd, _all_gather_exact_bwd)
+
+
+def all_gather_exact(x, axis: str | None, *, concat_axis: int = 0):
+    """all_gather whose transpose hands each shard ITS OWN block of the
+    cotangent, unscaled — the gather analogue of `psum_exact`.
+
+    Under `shard_map(..., check_vma=False)` the default transpose of
+    `lax.all_gather` is psum_scatter: when the gathered value feeds a loss
+    computed identically on every shard (a replicated cotangent), each
+    shard's local block would receive the cotangent summed over all shards —
+    i.e. scaled by the axis size. Use THIS whenever the downstream cotangent
+    is replicated across the axis (any loss computed per-shard from the full
+    gathered tensor), e.g. the row-sharded codebook's distance gather feeding
+    CE/diversity losses or gumbel straight-through."""
+    if axis is None:
+        return x
+    return _all_gather_exact(x, axis, concat_axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_in_bwd(x, axis: str):
+    return x
+
+
+def _psum_in_bwd_fwd(x, axis):
+    return x, None
+
+
+def _psum_in_bwd_bwd(axis, _, g):
+    return (jax.lax.psum(g, axis_name=axis),)
+
+
+_psum_in_bwd.defvjp(_psum_in_bwd_fwd, _psum_in_bwd_bwd)
+
+
+def psum_in_bwd(x, axis: str | None):
+    """Identity forward; psum of the cotangent in backward (the f/g
+    identity-psum pair from the shard_map manual-parallelism recipe).
+
+    Apply to a REPLICATED operand that feeds shard-local compute whose
+    per-shard gradient contribution is partial (each shard only sees the
+    contribution through its own columns/rows) — the backward psum
+    re-assembles the full gradient, replicated, so 'replicated' parameters
+    upstream stay bit-identical across shards. E.g. the token tensor feeding
+    a row-sharded distance computation."""
+    if axis is None:
+        return x
+    return _psum_in_bwd(x, axis)
+
+
 def pmean(x, axis: str | None):
     if axis is None:
         return x
@@ -108,9 +175,13 @@ def axis_is_bound(axis: str | None) -> bool:
         # the only public-ish trace-time axis-env probe in jax 0.9
         names = jax.core.unsafe_get_axis_names_DO_NOT_USE()
     except Exception:  # pragma: no cover - API moved; fall back to probing
+        # A jax upgrade may change both the probe API and the unbound-axis
+        # exception type; an unexpected exception here must mean "unbound"
+        # (the plain out-of-mesh path: checkpointing, decode, construction),
+        # never a crash — pinned by test_parallel.py's monkeypatch test.
         try:
             jax.lax.axis_size(axis)
             return True
-        except NameError:
+        except Exception:
             return False
     return axis in names

@@ -194,6 +194,43 @@ def sharded_nearest_code(
     return jax.lax.psum(global_idx, axis)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _slice_local_cols(full, c_local: int, code_axis: str):
+    row0 = jax.lax.axis_index(code_axis) * c_local
+    return jax.lax.dynamic_slice_in_dim(full, row0, c_local, axis=-1)
+
+
+def _slice_local_cols_fwd(full, c_local, code_axis):
+    return _slice_local_cols(full, c_local, code_axis), full.shape[-1]
+
+
+def _slice_local_cols_bwd(c_local, code_axis, c_full, g):
+    row0 = jax.lax.axis_index(code_axis) * c_local
+    zeros = jnp.zeros((*g.shape[:-1], c_full), g.dtype)
+    scattered = jax.lax.dynamic_update_slice_in_dim(zeros, g, row0, axis=-1)
+    # each shard contributes the cotangent of its own column window; the
+    # psum re-assembles the FULL cotangent, replicated, so the replicated
+    # upstream tensor (e.g. a straight-through one-hot over global codes)
+    # receives identical gradients on every shard
+    return (jax.lax.psum(scattered, code_axis),)
+
+
+_slice_local_cols.defvjp(_slice_local_cols_fwd, _slice_local_cols_bwd)
+
+
+def slice_local_cols(full: jax.Array, c_local: int, code_axis: str) -> jax.Array:
+    """Slice THIS shard's code-column window [rank*c_local, (rank+1)*c_local)
+    out of a replicated (..., c) tensor, with the gradient-correct transpose:
+    the backward scatters each shard's cotangent back into its window and
+    psums over the axis, yielding the full replicated cotangent. Use instead
+    of a raw `dynamic_slice_in_dim` whenever the sliced tensor is
+    differentiable (e.g. a gumbel straight-through one-hot)."""
+    return _slice_local_cols(full, c_local, code_axis)
+
+
 def local_onehot_from_global(
     ind: jax.Array, c_local: int, row0: jax.Array
 ) -> jax.Array:

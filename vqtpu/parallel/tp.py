@@ -217,6 +217,26 @@ class TensorParallelTrainer:
         return loss
 
 
+# jitted shard_map bodies, keyed so repeated tp_apply calls in an eval/decode
+# loop hit the jit cache instead of rebuilding (and fully retracing) a fresh
+# closure per call (r2 advisor finding: full recompilation per step)
+_TP_APPLY_CACHE: dict = {}
+_TP_APPLY_CACHE_MAX = 64
+
+
+def _tp_cache_put(key, mapped):
+    if len(_TP_APPLY_CACHE) >= _TP_APPLY_CACHE_MAX:  # FIFO bound, no leak
+        _TP_APPLY_CACHE.pop(next(iter(_TP_APPLY_CACHE)))
+    _TP_APPLY_CACHE[key] = mapped
+
+
+def _hashable_specs(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(
+        tree, is_leaf=lambda x: isinstance(x, P)
+    )
+    return (treedef, tuple(leaves))
+
+
 def tp_apply(
     model: nnx.Module,
     mesh: Mesh,
@@ -233,6 +253,11 @@ def tp_apply(
     `in_specs`/`out_specs` describe `args`/outputs (single spec broadcasts).
     With `mutates_state=True` the model's state updates (EMA etc.) are
     written back after the call.
+
+    The jitted mapped function is cached on (fn, graphdef, mesh, specs,
+    mutates_state), so calling tp_apply in a loop compiles once; `fn` must be
+    a stable callable (module-level function or functools.partial of one),
+    not a fresh lambda per call, to benefit.
     """
     graphdef, state = nnx.split(model)
     specs = codebook_pspecs(state, model)
@@ -240,31 +265,43 @@ def tp_apply(
     n_args = len(args)
     if not isinstance(in_specs, tuple):
         in_specs = (in_specs,) * n_args
-    if mutates_state:
-        def body(state, *inner):
-            m = nnx.merge(graphdef, state)
-            out = fn(m, *inner)
-            _, new_state = nnx.split(m)
-            return new_state, out
 
-        mapped = jax.jit(jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(specs, *in_specs),
-            out_specs=(specs, out_specs),
-            check_vma=False,
-        ))
+    key = (
+        fn, graphdef, mesh, mutates_state,
+        _hashable_specs(specs), _hashable_specs(in_specs),
+        _hashable_specs(out_specs),
+    )
+    mapped = _TP_APPLY_CACHE.get(key)
+
+    if mutates_state:
+        if mapped is None:
+            def body(state, *inner):
+                m = nnx.merge(graphdef, state)
+                out = fn(m, *inner)
+                _, new_state = nnx.split(m)
+                return new_state, out
+
+            mapped = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(specs, *in_specs),
+                out_specs=(specs, out_specs),
+                check_vma=False,
+            ))
+            _tp_cache_put(key, mapped)
         new_state, out = mapped(state, *args)
         nnx.update(model, new_state)
         return out
 
-    def body(state, *inner):
-        m = nnx.merge(graphdef, state)
-        return fn(m, *inner)
+    if mapped is None:
+        def body(state, *inner):
+            m = nnx.merge(graphdef, state)
+            return fn(m, *inner)
 
-    mapped = jax.jit(jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(specs, *in_specs),
-        out_specs=out_specs,
-        check_vma=False,
-    ))
+        mapped = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, *in_specs),
+            out_specs=out_specs,
+            check_vma=False,
+        ))
+        _tp_cache_put(key, mapped)
     return mapped(state, *args)

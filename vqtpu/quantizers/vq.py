@@ -125,6 +125,7 @@ class VectorQuantize(ModeModule):
         route_gradients_to_input: bool = True,
         use_pallas: bool = True,
         stat_precision=jax.lax.Precision.HIGHEST,
+        quantize_tier: str = 'exact',
         rngs: nnx.Rngs | None = None,
     ):
         if rngs is None:
@@ -249,6 +250,14 @@ class VectorQuantize(ModeModule):
         )
         self.code_axis = code_axis
 
+        # eval/serving throughput tier: 'bf16' routes eval forwards and
+        # index decode through the 2-MXU-pass bf16 pipeline
+        # (kernels.distance.quantize_lookup tier='bf16') — ~2x measured eval
+        # throughput at c<=512 on v5e, exact w.r.t. bf16-cast values
+        # (BASELINE.md). Training always runs the exact path; composites
+        # inherit the knob through their vq kwargs.
+        self.quantize_tier = quantize_tier
+
         self._codebook = Codebook(
             dim=codebook_dim,
             num_codebooks=heads if separate_codebook_per_head else 1,
@@ -274,6 +283,7 @@ class VectorQuantize(ModeModule):
             use_pallas=use_pallas,
             stat_precision=stat_precision,
             code_axis=code_axis,
+            quantize_tier=quantize_tier,
             rngs=rngs,
         )
 
@@ -381,6 +391,10 @@ class VectorQuantize(ModeModule):
         `code_axis` the codebook leaf holds this shard's rows and the lookup
         goes through the psum'd sharded gather."""
         codebook = self.codebook
+        if self.quantize_tier == 'bf16':
+            # serving decode on the bf16 tier: the lookup runs 1 MXU pass
+            # against the bf16-cast codebook (exact w.r.t. bf16 values)
+            codebook = codebook.astype(jnp.bfloat16)
         is_multiheaded = codebook.ndim > 2
 
         if self._codebook._code_parallel():
