@@ -146,3 +146,67 @@ def test_lfq_straight_through_activation():
     lfq.eval()
     q, ind, _ = lfq(z)
     assert (lfq.indices_to_codes(ind) == q).all()
+
+
+@pytest.mark.parametrize('spherical', (False, True))
+def test_lfq_chunked_entropy_matches_unchunked(spherical):
+    """The streamed (chunked implicit codebook) entropy path must match the
+    unchunked softmax path — loss values AND input gradients — since it is
+    the exact same math with a streaming logsumexp (the (N, c, K) prob
+    tensor is never materialized)."""
+    kw = dict(codebook_size=2 ** 14, dim=14, num_codebooks=1,
+              entropy_loss_weight=0.3, diversity_gamma=1.0,
+              spherical=spherical)
+    ref = LFQ(**kw, rngs=nnx.Rngs(0))
+    chunked = LFQ(**kw, entropy_chunk_size=2 ** 11, rngs=nnx.Rngs(0))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 14))
+
+    def loss_of(q, xs):
+        quantized, _, aux = q(xs, inv_temperature=10.0)
+        return aux + (quantized ** 2).mean()
+
+    l_ref, g_ref = jax.value_and_grad(lambda xs: loss_of(ref, xs))(x)
+    l_ch, g_ch = jax.value_and_grad(lambda xs: loss_of(chunked, xs))(x)
+
+    np.testing.assert_allclose(float(l_ch), float(l_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_ch), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+
+
+def test_lfq_chunked_entropy_with_mask_and_frac():
+    """Chunking composes with masking and fractional per-sample-entropy
+    subsampling (same rng stream -> same subsample -> same value)."""
+    kw = dict(codebook_size=2 ** 12, dim=12,
+              frac_per_sample_entropy=0.5, entropy_loss_weight=0.2)
+    ref = LFQ(**kw, rngs=nnx.Rngs(3))
+    chunked = LFQ(**kw, entropy_chunk_size=2 ** 9, rngs=nnx.Rngs(3))
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 12))
+    mask = jnp.array([[True] * 10 + [False] * 6, [True] * 16])
+
+    # inv_temperature=100 (the default) makes the logits O(100): the
+    # streaming logsumexp's different rounding order is amplified through
+    # exp, so parity here is ~1e-4 relative (values match to ~2e-5)
+    _, _, aux_ref = ref(x, mask=mask)
+    _, _, aux_ch = chunked(x, mask=mask)
+    np.testing.assert_allclose(float(aux_ch), float(aux_ref), rtol=1e-4)
+
+
+def test_lfq_large_codebook_auto_chunks():
+    """K = 2^18: the auto policy must chunk (the unchunked path would
+    materialize tokens x K probabilities) and produce finite, nonzero
+    entropy terms under jit + grad."""
+    q = LFQ(codebook_size=2 ** 18, dim=18, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 18))
+
+    @jax.jit
+    def step(xs):
+        def f(v):
+            quantized, _, aux = q(v, inv_temperature=1.0)
+            return aux
+        return jax.value_and_grad(f)(xs)
+
+    aux, g = step(x)
+    assert jnp.isfinite(aux) and jnp.isfinite(g).all()
+    assert float(jnp.abs(g).max()) > 0

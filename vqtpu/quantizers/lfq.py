@@ -86,6 +86,7 @@ class LFQ(ModeModule):
         force_quantization_f32: bool = True,
         orthogonal_rotation: bool = False,
         sync_axis: str | None = None,
+        entropy_chunk_size: int | None = None,
         rngs: nnx.Rngs | None = None,
     ):
         if rngs is None:
@@ -161,6 +162,20 @@ class LFQ(ModeModule):
 
         self.force_quantization_f32 = force_quantization_f32
         self.sync_axis = sync_axis
+
+        # the entropy terms materialize a (tokens, num_codebooks, K)
+        # probability tensor; beyond K ~ 2^16 that dominates memory
+        # (reference has the same structure, lookup_free_quantization.py:
+        # 345-403, and only offers token subsampling). The chunked path
+        # streams the implicit codebook in K-chunks (streaming logsumexp +
+        # a second accumulation pass) so 2^18-2^20 codebooks fit; None =
+        # auto (chunk iff K > 2^16). Must be a power of two <= K.
+        if entropy_chunk_size is not None:
+            assert (
+                math.log2(entropy_chunk_size).is_integer()
+                and entropy_chunk_size <= codebook_size
+            ), entropy_chunk_size
+        self.entropy_chunk_size = entropy_chunk_size
         self.rngs = rngs
 
     # -- bit codec (derived constants, never stored) ---------------------------
@@ -227,8 +242,6 @@ class LFQ(ModeModule):
         a gumbel-top-k uniform draw over valid tokens — shape-static,
         replacing the reference's randperm boolean mask (:365-378).
         """
-        codebook = self.maybe_l2norm(self.codebook)              # (K, d)
-
         flat = original_input.reshape(-1, *original_input.shape[-2:])   # (N, c, d)
         num_tokens = flat.shape[0]
 
@@ -247,29 +260,111 @@ class LFQ(ModeModule):
             flat = jnp.take(flat, sel, axis=0)
             weights = jnp.take(weights, sel, axis=0)
 
-        # -2 x.c is euclidean distance up to a constant (reference :374,382);
-        # HIGHEST keeps the entropy logits f32-faithful on TPU (the LFQ core
-        # is a forced-f32 region in the reference, :312-316)
-        distance = -2 * jnp.einsum(
-            'ncd,kd->nck', flat, codebook, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        prob = jax.nn.softmax(-distance * inv_temperature, axis=-1)  # (N', c, K)
-
-        w = weights[:, None, None]
         denom = jnp.maximum(weights.sum(), 1e-6)
 
-        per_sample_entropy = (
-            entropy_fn(prob, eps=1e-5) * weights[:, None]
-        ).sum() / (denom * prob.shape[1])
+        chunk = self.entropy_chunk_size
+        if chunk is None and self.codebook_size > (1 << 16):
+            chunk = 1 << 14                                       # auto
+        if chunk is not None and chunk < self.codebook_size:
+            ent_sum, avg_prob_num = self._streamed_entropy_stats(
+                flat, weights, inv_temperature, chunk
+            )
+        else:
+            # -2 x.c is euclidean distance up to a constant (reference
+            # :374,382); HIGHEST keeps the entropy logits f32-faithful on
+            # TPU (the LFQ core is a forced-f32 region in the reference,
+            # :312-316)
+            codebook = self.maybe_l2norm(self.codebook)           # (K, d)
+            distance = -2 * jnp.einsum(
+                'ncd,kd->nck', flat, codebook,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            prob = jax.nn.softmax(-distance * inv_temperature, axis=-1)
+            ent_sum = (entropy_fn(prob, eps=1e-5) * weights[:, None]).sum()
+            avg_prob_num = (prob * weights[:, None, None]).sum(axis=0)
+
+        per_sample_entropy = ent_sum / (denom * flat.shape[1])
 
         # batch-average distribution, differentiably psum'd across replicas
-        avg_prob_num = collectives.psum((prob * w).sum(axis=0), self.sync_axis)
+        avg_prob_num = collectives.psum(avg_prob_num, self.sync_axis)
         avg_prob_den = collectives.psum(denom, self.sync_axis)
         avg_prob = avg_prob_num / avg_prob_den                    # (c, K)
         codebook_entropy = entropy_fn(avg_prob, eps=1e-5).mean()
 
         return per_sample_entropy, codebook_entropy
+
+    def _chunk_codes(self, start: jax.Array, size: int) -> jax.Array:
+        """Code vectors for implicit-codebook rows [start, start+size) —
+        generated arithmetically on the fly (no (K, d) table in memory)."""
+        idx = start + jnp.arange(size)
+        bits = ((idx[:, None] & self._bit_mask()) != 0).astype(jnp.float32)
+        return self.maybe_l2norm(self.bits_to_codes(bits))        # (size, d)
+
+    def _streamed_entropy_stats(
+        self,
+        flat: jax.Array,          # (N', c, d) f32
+        weights: jax.Array,       # (N',)
+        inv_temperature: float,
+        chunk: int,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Entropy statistics with the implicit codebook streamed in
+        `chunk`-row pieces, never materializing the (N', c, K) probability
+        tensor: pass A runs a streaming logsumexp over chunks, pass B
+        re-computes each chunk's probabilities against the final logZ and
+        accumulates the weighted per-sample-entropy sum and the (c, K)
+        batch-average numerator. Chunk bodies are rematerialized
+        (jax.checkpoint) so the backward pass stays O(chunk) in memory.
+        Mathematically identical to the unchunked softmax path (pinned to
+        ~1e-6 by tests/test_lfq.py); 2x the logit FLOPs, which the memory-
+        bound large-K regime absorbs."""
+        n_chunks = self.codebook_size // chunk
+        starts = jnp.arange(n_chunks) * chunk
+        nb, c = flat.shape[0], flat.shape[1]
+
+        def logits_for(start):
+            codes = self._chunk_codes(start, chunk)               # (k, d)
+            distance = -2 * jnp.einsum(
+                'ncd,kd->nck', flat, codes,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return -distance * inv_temperature                    # (N', c, k)
+
+        @jax.checkpoint
+        def pass_a(carry, start):
+            m, s = carry
+            logits = logits_for(start)
+            m_new = jnp.maximum(m, logits.max(axis=-1))
+            s = s * jnp.exp(m - m_new) + jnp.exp(
+                logits - m_new[..., None]
+            ).sum(axis=-1)
+            return (m_new, s), None
+
+        init = (
+            jnp.full((nb, c), -jnp.inf, jnp.float32),
+            jnp.zeros((nb, c), jnp.float32),
+        )
+        (m, s), _ = jax.lax.scan(pass_a, init, starts)
+        log_z = m + jnp.log(s)                                    # (N', c)
+
+        @jax.checkpoint
+        def pass_b(carry, start):
+            ent_sum, = carry
+            logits = logits_for(start)
+            prob = jnp.exp(logits - log_z[..., None])             # (N', c, k)
+            ent_sum = ent_sum + (
+                entropy_fn(prob, eps=1e-5) * weights[:, None]
+            ).sum()
+            avg_chunk = (prob * weights[:, None, None]).sum(axis=0)
+            return (ent_sum,), avg_chunk                          # (c, k)
+
+        (ent_sum,), avg_chunks = jax.lax.scan(
+            pass_b, (jnp.zeros((), jnp.float32),), starts
+        )
+        # (n_chunks, c, chunk) -> (c, K), chunk-major = global code order
+        avg_prob_num = jnp.moveaxis(avg_chunks, 0, 1).reshape(c, -1)
+        return ent_sum, avg_prob_num
 
     # -- forward -----------------------------------------------------------------
 
