@@ -94,3 +94,55 @@ def extra():
 
 if __name__ == '__main__':
     extra()
+
+
+def train_step_fused(x, embed, embed_avg, cluster_size):
+    """The fused Pallas variant: selection + exact lookup + stats in one
+    VMEM pass (kernels/train_fused.py) — candidate for closing the
+    8.0-passes-equiv -> 7-pass-floor gap (VERDICT r2 #2)."""
+    from vqtpu.kernels.train_fused import fused_train_quantize
+
+    idx, q, bins, embed_sum = fused_train_quantize(x, embed)
+    cs = cluster_size + (bins - cluster_size) * (1 - DECAY)
+    ea = embed_avg + (embed_sum - embed_avg) * (1 - DECAY)
+    smoothed = laplace_smoothing(cs, C, EPS) * cs.sum()
+    return idx, q, cs, ea, ea / smoothed[:, None]
+
+
+def fused(block_n=1024):
+    from functools import partial
+    from vqtpu.kernels.train_fused import fused_train_quantize
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, D), jnp.float32)
+    embed = jax.random.normal(jax.random.PRNGKey(1), (C, D), jnp.float32)
+
+    # on-chip exactness gate first (Mosaic must honor HIGHEST on the one-hot
+    # matmuls; if it silently lowers to one bf16 pass these asserts fail and
+    # the fused path must not ship)
+    idx, q, bins, esum = jax.jit(
+        partial(fused_train_quantize, block_n=block_n)
+    )(x, embed)
+    import numpy as np
+    ref_rows = np.asarray(jnp.take(embed, idx, axis=0))
+    assert (np.asarray(q) == ref_rows).all(), 'lookup rows NOT bit-exact'
+    onehot = jax.nn.one_hot(idx, C, dtype=jnp.float32)
+    ref_esum = jnp.einsum('nd,nc->cd', x, onehot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    err = float(jnp.abs(esum - ref_esum).max())
+    rel = err / float(jnp.abs(ref_esum).max())
+    print(f'fused exactness: rows bit-exact; esum max-abs-err {err:.3e} '
+          f'(rel {rel:.2e}; f32-accumulation-order-level expected)')
+
+    t = timeit_chained(
+        train_step_fused, x, embed, embed.astype(jnp.float32),
+        jnp.ones(C, jnp.float32), lo=2, hi=10, perturb_arg=1,
+    )
+    pass_t = 2 * N * C * D / 197e12
+    print(f'train forward (FUSED kernel, bn={block_n}): {t*1e3:.3f} ms  '
+          f'{N/t/1e6:.0f} Mtok/s  ({t/pass_t:.1f} passes-equiv)')
+
+
+if __name__ == '__main__':
+    fused()

@@ -421,3 +421,40 @@ def test_native_oracle_parity_fuzz(seed):
         gap = np.abs(picked - best)[mismatch]
         scale = np.abs(d2).max()
         assert (gap <= 1e-5 * scale).all(), (gap.max(), n, c, d, metric)
+
+
+@pytest.mark.parametrize('metric', ('euclidean', 'cosine'))
+@pytest.mark.parametrize('shape', ((1024, 64, 96), (1000, 130, 100)))
+def test_fused_train_quantize_matches_oracle(metric, shape):
+    """The fused training kernel (selection + exact lookup + EMA statistics
+    in one VMEM pass, kernels/train_fused.py) must reproduce the XLA
+    composition: nearest_code indices with first-index tie-break, BIT-EXACT
+    codebook rows, and the weighted one-hot statistics."""
+    from vqtpu.kernels.train_fused import fused_train_quantize
+
+    n, c, d = shape
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, d))
+    e = jax.random.normal(jax.random.PRNGKey(1), (c, d))
+    if metric == 'cosine':
+        x = U.l2norm(x)
+        e = U.l2norm(e)
+    w = (jax.random.uniform(jax.random.PRNGKey(2), (n,)) > 0.3).astype(
+        jnp.float32)
+
+    idx, q, bins, esum = fused_train_quantize(
+        x, e, metric, weights=w, interpret=True)
+
+    oracle_idx = nearest_code_xla(x, e, metric)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(oracle_idx))
+
+    np.testing.assert_array_equal(
+        np.asarray(q), np.asarray(jnp.take(e, idx, axis=0)))
+
+    onehot = jax.nn.one_hot(idx, c, dtype=jnp.float32) * w[:, None]
+    np.testing.assert_allclose(
+        np.asarray(bins), np.asarray(onehot.sum(axis=0)), atol=1e-4)
+    oracle_esum = jnp.einsum(
+        'nd,nc->cd', x, onehot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(
+        np.asarray(esum), np.asarray(oracle_esum), rtol=1e-6, atol=1e-5)

@@ -351,3 +351,32 @@ def test_batch_select_matches_numpy_oracle(seed):
     assert np.array_equal(got, oracle(t)), (b, n, j, k, trail)
     goti = np.asarray(_batch_select(jnp.asarray(ti), jnp.asarray(idx)))
     assert np.array_equal(goti, oracle(ti)), (b, n, j, k, trail, 'int')
+
+
+def test_beam_score_precision_knob():
+    """beam_score_precision=HIGHEST (the TPU determinism knob: forces the
+    beam-score distance matmuls f32-faithful so on-chip rankings reproduce
+    the CPU golden) must be plumbed to the layers' distance computation and
+    must be a no-op on CPU, where f32 matmuls are already exact."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 8))
+
+    kw = dict(dim=8, num_quantizers=3, codebook_size=16, beam_size=4)
+    ref = ResidualVQ(**kw, rngs=nnx.Rngs(0)).eval()
+    det = ResidualVQ(**kw, beam_score_precision=jax.lax.Precision.HIGHEST,
+                     rngs=nnx.Rngs(0)).eval()
+    assert det.beam_score_precision == jax.lax.Precision.HIGHEST
+
+    q1, i1, _ = ref(x)
+    q2, i2, _ = det(x)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+
+    # training-mode beam with the knob: post-hoc EMA state stays finite and
+    # identical to the default-precision run on CPU
+    t_ref = ResidualVQ(**kw, rngs=nnx.Rngs(1))
+    t_det = ResidualVQ(**kw, beam_score_precision=jax.lax.Precision.HIGHEST,
+                       rngs=nnx.Rngs(1))
+    t_ref(x)
+    t_det(x)
+    np.testing.assert_array_equal(
+        np.asarray(t_ref.codebooks), np.asarray(t_det.codebooks))

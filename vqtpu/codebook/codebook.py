@@ -624,6 +624,7 @@ class Codebook(ModeModule):
         need_distances: bool = True,
         stochastic: bool = False,
         straight_through_onehot: bool = False,
+        dist_precision=None,
     ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
         """Quantize (h?, b, n, d) tokens -> (quantize, indices, distances).
 
@@ -748,6 +749,7 @@ class Codebook(ModeModule):
                     dist = jnp.einsum(
                         'hnd,hncd->hnc', flatten_d, transformed,
                         preferred_element_type=jnp.float32,
+                        precision=dist_precision,
                     )
                 else:
                     diff = flatten_d[..., None, :] - transformed
@@ -763,9 +765,10 @@ class Codebook(ModeModule):
                     dist = jnp.einsum(
                         'hnd,hcd->hnc', flatten_d, embed,
                         preferred_element_type=jnp.float32,
+                        precision=dist_precision,
                     )
                 else:
-                    dist = -U.cdist(flatten_d, embed)
+                    dist = -U.cdist(flatten_d, embed, precision=dist_precision)
 
             if code_parallel:
                 # distance-materializing paths (stochastic sampling,

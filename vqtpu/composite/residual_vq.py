@@ -140,6 +140,7 @@ class ResidualVQ(ModeModule):
         beam_size: int | None = None,
         eval_beam_size: int | None = None,
         beam_score_quantizer_weights: list[float] | None = None,
+        beam_score_precision=None,
         quant_grad_frac: float = 0.0,
         rngs: nnx.Rngs | None = None,
         **vq_kwargs,
@@ -223,6 +224,13 @@ class ResidualVQ(ModeModule):
         )
         assert len(beam_score_quantizer_weights) == num_quantizers
         self.beam_score_weights = tuple(float(w) for w in beam_score_quantizer_weights)
+        # determinism knob (VERDICT r2 #4): HIGHEST forces the beam-score
+        # distance matmuls f32-faithful so the on-chip beam ranking
+        # reproduces the CPU/golden ordering (on TPU the default is one bf16
+        # pass, which flips near-ties — ~95% index agreement measured at the
+        # BASELINE beam shape). Cost: the beam candidate-selection matmuls
+        # run ~3x slower; the knob only affects the beam path.
+        self.beam_score_precision = beam_score_precision
 
         # QINCo MLPs for layers 2..N
         if implicit_neural_codebook:
@@ -597,6 +605,7 @@ class ResidualVQ(ModeModule):
                 freeze_codebook=freeze_codebook,
                 codebook_transform_fn=transform_fn,
                 topk=beam_size,
+                dist_precision=self.beam_score_precision,
             )
             # quantized: (..., j, k, d); embed_indices/loss: (..., j, k)
 

@@ -69,27 +69,30 @@ def append_dims_to(t: jax.Array, ndims: int) -> jax.Array:
     return t.reshape(*t.shape, *((1,) * (ndims - t.ndim)))
 
 
-def cdist_sq(x: jax.Array, y: jax.Array) -> jax.Array:
+def cdist_sq(x: jax.Array, y: jax.Array, precision=None) -> jax.Array:
     """Squared euclidean pairwise distances: (..., i, d) x (..., j, d) ->
     (..., i, j) via the expansion ||x||^2 - 2 x y^T + ||y||^2.
 
     This is the XLA-reference formulation of the hot distance computation
     (reference vector_quantize_pytorch.py:58-62); the fused Pallas kernel in
     vqtpu.kernels.distance implements the same math tiled for the MXU.
-    Accumulates in float32 regardless of input dtype.
+    Accumulates in float32 regardless of input dtype. `precision=HIGHEST`
+    makes the cross-term matmul f32-faithful on TPU (default is one bf16
+    pass) — the determinism knob behind beam_score_precision.
     """
     x2 = (x.astype(jnp.float32) ** 2).sum(axis=-1)
     y2 = (y.astype(jnp.float32) ** 2).sum(axis=-1)
     xy = jnp.einsum(
-        '...id,...jd->...ij', x, y, preferred_element_type=jnp.float32
+        '...id,...jd->...ij', x, y, preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return x2[..., :, None] - 2.0 * xy + y2[..., None, :]
 
 
-def cdist(x: jax.Array, y: jax.Array, eps: float = 1e-8) -> jax.Array:
+def cdist(x: jax.Array, y: jax.Array, eps: float = 1e-8, precision=None) -> jax.Array:
     """Euclidean pairwise distance with a numerical floor, matching the
     reference cdist (clamp then sqrt)."""
-    return jnp.sqrt(jnp.maximum(cdist_sq(x, y), eps))
+    return jnp.sqrt(jnp.maximum(cdist_sq(x, y, precision=precision), eps))
 
 
 def lens_to_mask(lens: jax.Array, max_length: int) -> jax.Array:

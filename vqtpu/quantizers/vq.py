@@ -629,6 +629,7 @@ class VectorQuantize(ModeModule):
         ema_update_weight=None,
         accum_ema_update: bool = False,
         ema_update: bool | None = None,
+        dist_precision=None,
     ):
         orig_input = x
         orig_dtype = x.dtype
@@ -687,6 +688,10 @@ class VectorQuantize(ModeModule):
             need_distances=need_distances,
             stochastic=self.stochastic_sample_codes,
             straight_through_onehot=self.straight_through_gumbel,
+            # TPU determinism knob: HIGHEST makes the (n, c) distance
+            # matmuls f32-faithful so near-tie rankings (beam/topk) match
+            # the CPU/golden ordering (default: one bf16 pass on TPU)
+            dist_precision=dist_precision,
         )
 
         quantize, embed_ind, distances = self._codebook(x, **codebook_kwargs)
