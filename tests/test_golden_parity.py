@@ -632,8 +632,8 @@ def test_hierarchical_vq_parity():
     oh.vq._codebook.cluster_size.value = jnp.asarray(
         t2n(rh.vq._codebook.cluster_size))
     # shared Phi conv (torch OIHW -> flax HWIO)
-    rconv = rh.phi_shared.conv if hasattr(rh, 'phi_shared') else rh.phi_levels[0].conv
-    oconv = oh.phi_shared.conv if oh.phi_shared is not None else oh.phi_levels[0].conv
+    rconv = rh.phi_shared.conv if rh.phi_shared is not None else rh.phi_levels[0].conv
+    oconv = oh.phi_levels[0].conv
     oconv.kernel.value = jnp.asarray(
         np.transpose(t2n(rconv.weight), (2, 3, 1, 0)))
     oconv.bias.value = jnp.asarray(t2n(rconv.bias))

@@ -125,31 +125,27 @@ class HierarchicalVQ(ModeModule):
             rngs=rngs,
         )
 
-        if share_quant_resi == 1:
-            self.phi_shared = _Phi2D(dim, quant_resi, rngs=rngs)
-            self.phi_levels = None
-        else:
-            num_phi_levels = (
-                len(self.scales) if share_quant_resi <= 0
-                else min(len(self.scales), int(share_quant_resi))
-            )
-            self.phi_shared = None
-            self.phi_levels = nnx.List([
-                _Phi2D(dim, quant_resi, rngs=rngs) for _ in range(num_phi_levels)
-            ])
+        # `share_quant_resi` smoothers are spread over the scale pyramid
+        # (1 = one shared Phi; <=0 = one per scale). The scale->smoother
+        # assignment is static, so it is resolved ONCE here into an index
+        # table instead of being recomputed per forward call: each scale maps
+        # to the nearest smoother along the normalized pyramid position.
+        num_phi = (
+            1 if share_quant_resi == 1
+            else len(self.scales) if share_quant_resi <= 0
+            else min(len(self.scales), int(share_quant_resi))
+        )
+        self.phi_levels = nnx.List([
+            _Phi2D(dim, quant_resi, rngs=rngs) for _ in range(num_phi)
+        ])
+        span = max(len(self.scales) - 1, 1)
+        self._phi_of_scale = tuple(
+            min(num_phi - 1, round((num_phi - 1) * i / span))
+            for i in range(len(self.scales))
+        )
 
     def _choose_phi(self, scale_index: int):
-        if exists(self.phi_shared):
-            return self.phi_shared
-        assert exists(self.phi_levels)
-        if len(self.phi_levels) == len(self.scales):
-            return self.phi_levels[scale_index]
-        if len(self.scales) == 1:
-            return self.phi_levels[0]
-        position = scale_index / float(len(self.scales) - 1)
-        phi_index = round(position * (len(self.phi_levels) - 1))
-        phi_index = max(0, min(len(self.phi_levels) - 1, phi_index))
-        return self.phi_levels[phi_index]
+        return self.phi_levels[self._phi_of_scale[scale_index]]
 
     def _upsample_to_full(self, q: jax.Array, full_hw: tuple[int, int], scale_index: int):
         if q.shape[-2:] != full_hw:

@@ -152,8 +152,11 @@ def import_torch_state(module, torch_state: dict) -> None:
         sub = {k[len('vq.'):]: v for k, v in torch_state.items()
                if k.startswith('vq.')}
         import_torch_state(module.vq, sub)
-        if module.phi_shared is not None:
-            _conv2d(torch_state, 'phi_shared.conv', module.phi_shared.conv)
+        # reference stores a single smoother under 'phi_shared' when
+        # share_quant_resi == 1; vqtpu always uses the phi_levels list (the
+        # shared case is a 1-element list)
+        if any(k.startswith('phi_shared.') for k in torch_state):
+            _conv2d(torch_state, 'phi_shared.conv', module.phi_levels[0].conv)
         else:
             for i, phi in enumerate(module.phi_levels):
                 _conv2d(torch_state, f'phi_levels.{i}.conv', phi.conv)
