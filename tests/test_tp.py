@@ -772,3 +772,62 @@ def test_2d_mesh_dp_tp_parity_vs_unsharded():
     cs = np.asarray(tp2._codebook.cluster_size[...])
     assert np.isfinite(cs).all() and cs.sum() > 0
     assert tp2._codebook.embed[...].shape == (1, 64, 32)
+
+
+# -- sharded serving decode: bit-parity across code-axis world sizes -----------
+#
+# BASELINE.md bills the row-sharded codebook as the scalable serving answer to
+# the c=65536 gather; these pin the claim's correctness half: decode through
+# sharded_gather_codes is BIT-identical to the unsharded path at world 2/4/8
+# (the on-chip overhead half lives in benchmarks/decode_tpu.py --sharded).
+
+@pytest.mark.parametrize('world', [2, 4, 8])
+@pytest.mark.parametrize('dtype', ['float32', 'bfloat16'])
+def test_sharded_gather_codes_bit_parity(world, dtype):
+    """sharded_gather_codes == gather_codes exactly: the one-hot HIGHEST
+    matmul reproduces rows bit-exactly and the psum only adds zeros, so no
+    tolerance is owed at any world size or dtype."""
+    from vqtpu.kernels.distance import gather_codes
+    from vqtpu.parallel.shard import sharded_gather_codes
+
+    c, d = 64, 32
+    dt = jnp.dtype(dtype)
+    embed = jax.random.normal(
+        jax.random.PRNGKey(world), (c, d), jnp.float32).astype(dt)
+    ind = jax.random.randint(
+        jax.random.PRNGKey(world + 100), (5, 17), 0, c)
+    ref = gather_codes(embed, ind)
+
+    mesh = Mesh(np.array(jax.devices()[:world]).reshape(world), ('code',))
+    out = jax.jit(jax.shard_map(
+        lambda e, i: sharded_gather_codes(e, i, 'code'),
+        mesh=mesh, in_specs=(P('code'), P()), out_specs=P(),
+        check_vma=False,
+    ))(embed, ind)
+    assert out.dtype == ref.dtype
+    assert (np.asarray(out) == np.asarray(ref)).all()
+
+
+@pytest.mark.parametrize('world', [2, 4, 8])
+def test_module_decode_bit_parity_across_worlds(world):
+    """VectorQuantize.get_output_from_indices under code_axis matches the
+    unsharded module bit-exactly at code world 2/4/8 (projection included)."""
+    ref = VectorQuantize(dim=24, codebook_dim=16, codebook_size=64,
+                         rngs=nnx.Rngs(0))
+    ref.eval()
+    ind = jax.random.randint(jax.random.PRNGKey(3), (4, 10), 0, 64)
+    dec_ref = ref.get_output_from_indices(ind)
+
+    mesh = Mesh(np.array(jax.devices()[:world]).reshape(world), ('code',))
+    tp = VectorQuantize(dim=24, codebook_dim=16, codebook_size=64,
+                        code_axis='code', rngs=nnx.Rngs(0))
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    dec = jax.jit(jax.shard_map(
+        lambda s, i: nnx.merge(graphdef, s).get_output_from_indices(i),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_vma=False,
+    ))(state, ind)
+    assert (np.asarray(dec) == np.asarray(dec_ref)).all()
