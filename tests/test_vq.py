@@ -505,3 +505,145 @@ def test_residual_vq_inherits_bf16_tier():
     np.testing.assert_allclose(
         np.asarray(rvq.get_output_from_indices(idx)),
         np.asarray(q), atol=1e-5)
+
+
+# -- fused training step at the module level (train_fused knob) ---------------
+
+def _train_pair(steps=3, n=64, seq=33, **kw):
+    """Run the same training stream through the XLA composition and the
+    fused kernel (interpret mode off-TPU); return both modules + outputs."""
+    ref = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0), **kw)
+    fus = VectorQuantize(dim=32, codebook_size=64, train_fused='on',
+                         rngs=nnx.Rngs(0), **kw)
+    outs = []
+    for s in range(steps):
+        x = jax.random.normal(jax.random.PRNGKey(s), (n, seq, 32))
+        outs.append((ref(x), fus(x)))
+    return ref, fus, outs
+
+
+@pytest.mark.parametrize('kw', [
+    {},
+    {'use_cosine_sim': True},
+    {'heads': 2, 'separate_codebook_per_head': True, 'codebook_dim': 16},
+    {'threshold_ema_dead_code': 0.0},        # no expiry branch
+], ids=['ema', 'cosine', 'heads', 'no-expiry'])
+def test_train_fused_matches_module(kw):
+    """VectorQuantize(train_fused='on') reproduces the default training
+    forward: indices and quantize bit-identical (the kernel's lookup is
+    bit-exact), EMA state equal up to f32 accumulation order."""
+    ref, fus, outs = _train_pair(**kw)
+    for s, ((qr, ir, lr), (qf, if_, lf)) in enumerate(outs):
+        assert (np.asarray(ir) == np.asarray(if_)).all(), f'step {s} indices'
+        if s == 0:
+            # identical codebooks: the kernel's lookup rows are bit-exact
+            np.testing.assert_array_equal(
+                np.asarray(qr), np.asarray(qf), err_msg=f'step {s} quantize')
+        else:
+            # EMA states differ by f32 accumulation order from step 1 on
+            # (kernel block-partials vs einsum contraction — the documented
+            # train_fused contract), so rows agree only to ulps
+            np.testing.assert_allclose(
+                np.asarray(qr), np.asarray(qf), rtol=1e-5, atol=1e-6,
+                err_msg=f'step {s} quantize')
+        np.testing.assert_allclose(
+            np.asarray(lr), np.asarray(lf), atol=1e-6, err_msg=f'step {s}')
+    np.testing.assert_array_equal(
+        np.asarray(ref._codebook.cluster_size[...]),
+        np.asarray(fus._codebook.cluster_size[...]))
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.embed_avg[...]),
+        np.asarray(fus._codebook.embed_avg[...]), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.embed[...]),
+        np.asarray(fus._codebook.embed[...]), rtol=1e-6, atol=1e-5)
+
+
+def test_train_fused_masked_matches_module():
+    """Mask weighting flows into the kernel's statistics: padded tokens
+    contribute nothing, matching the default masked path."""
+    ref = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    fus = VectorQuantize(dim=32, codebook_size=64, train_fused='on',
+                         rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 17, 32))
+    lens = jnp.array([17, 5, 9, 0])
+    mask = jnp.arange(17)[None, :] < lens[:, None]
+    qr, ir, _ = ref(x, mask=mask)
+    qf, if_, _ = fus(x, mask=mask)
+    assert (np.asarray(ir) == np.asarray(if_)).all()
+    np.testing.assert_array_equal(np.asarray(qr), np.asarray(qf))
+    np.testing.assert_array_equal(
+        np.asarray(ref._codebook.cluster_size[...]),
+        np.asarray(fus._codebook.cluster_size[...]))
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.embed_avg[...]),
+        np.asarray(fus._codebook.embed_avg[...]), rtol=1e-6, atol=1e-5)
+
+
+def test_train_fused_falls_back_when_ineligible():
+    """Feature combinations the kernel cannot serve (learnable codebook,
+    affine stats, CE-loss distances) silently use the standard path and
+    still train."""
+    for kw in (
+        {'learnable_codebook': True, 'ema_update': False},
+        {'affine_param': True},
+        {'commitment_use_cross_entropy_loss': True, 'commitment_weight': 1.0},
+    ):
+        vq = VectorQuantize(dim=32, codebook_size=64, train_fused='on',
+                            rngs=nnx.Rngs(0), **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 32))
+        q, ind, loss = vq(x)
+        assert q.shape == x.shape and jnp.isfinite(loss)
+
+
+def test_train_fused_under_jit_trains():
+    """The fused step works under jit (nnx.jit state threading) and the
+    codebook converges onto the data support."""
+    vq = VectorQuantize(dim=8, codebook_size=16, decay=0.5,
+                        train_fused='on', rngs=nnx.Rngs(0))
+
+    @nnx.jit
+    def step(vq, x):
+        q, ind, _ = vq(x)
+        return ((q - x) ** 2).mean()
+
+    errs = [
+        float(step(vq, jax.random.normal(jax.random.PRNGKey(s), (8, 64, 8))))
+        for s in range(10)
+    ]
+    assert errs[-1] < errs[0]
+
+
+def test_train_fused_under_value_and_grad():
+    """The fused kernel must survive nnx.value_and_grad over a surrounding
+    loss: its inputs carry encoder tangents, and pallas_call has no JVP rule
+    — the module stops gradients at the kernel boundary (EMA semantics)."""
+    class AE(nnx.Module):
+        def __init__(self, rngs):
+            self.enc = nnx.Linear(16, 8, rngs=rngs)
+            self.vq = VectorQuantize(dim=8, codebook_size=32, decay=0.6,
+                                     train_fused='on', rngs=rngs)
+            self.dec = nnx.Linear(8, 16, rngs=rngs)
+
+        def __call__(self, x):
+            q, ind, loss = self.vq(self.enc(x))
+            return self.dec(q), loss
+
+    model = AE(nnx.Rngs(0))
+    opt = nnx.Optimizer(model, optax.adam(1e-2), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, opt, x):
+        def loss_fn(m):
+            y, vq_loss = m(x)
+            return ((y - x) ** 2).mean() + vq_loss
+        l, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return l
+
+    losses = [
+        float(step(model, opt,
+                   jax.random.normal(jax.random.PRNGKey(s), (1, 64, 16))))
+        for s in range(25)
+    ]
+    assert losses[-1] < losses[0], losses

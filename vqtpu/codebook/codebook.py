@@ -30,6 +30,7 @@ from ..core.utils import (
 from ..core.sampling import gumbel_sample, masked_sample_vectors, masked_sample_indices
 from ..core import utils as U
 from ..kernels.distance import nearest_code, gather_codes, quantize_lookup
+from ..kernels.train_fused import fused_train_quantize
 from ..parallel import collectives
 from ..parallel.shard import (
     local_onehot_from_global,
@@ -114,6 +115,7 @@ class Codebook(ModeModule):
         stat_precision=jax.lax.Precision.HIGHEST,
         code_axis: str | None = None,
         quantize_tier: str = 'exact',
+        train_fused: str = 'auto',
         rngs: nnx.Rngs,
     ):
         self.dim = dim
@@ -158,6 +160,16 @@ class Codebook(ModeModule):
             'codebooks yet — the sharded selection reduction is f32'
         )
         self.quantize_tier = quantize_tier
+        # fused training step (kernels/train_fused.py): selection + bit-exact
+        # lookup + EMA statistics in one VMEM pass per token block, so the
+        # (n, c) one-hot never round-trips HBM and x is read once. 'on'
+        # forces it wherever eligible (plain EMA training forward: no
+        # distance-needing features, no affine/vq_bridge/learnable/sharded
+        # codebook); 'off' never; 'auto' defers to the on-silicon measured
+        # policy (benchmarks/train_step_tpu.py — stays on the XLA composition
+        # until the kernel beats it at the shape in question).
+        assert train_fused in ('auto', 'on', 'off'), train_fused
+        self.train_fused = train_fused
         # precision of the matmuls feeding persistent EMA state. HIGHEST is
         # bit-exact on TPU (one-hot operand; 3 bf16 passes) and the default;
         # DEFAULT trades ~25% training-forward time for bf16-rounded stats
@@ -224,6 +236,16 @@ class Codebook(ModeModule):
 
     def transform_input(self, x: jax.Array) -> jax.Array:
         return l2norm(x) if self.use_cosine_sim else x
+
+    def _train_fused_active(self) -> bool:
+        """Resolve the train_fused knob. 'auto' is the measured-on-silicon
+        policy: it stays on the XLA composition until
+        benchmarks/train_step_tpu.py shows the fused kernel beating it at a
+        shape envelope — flip this resolution (not call sites) when it
+        does."""
+        if self.train_fused == 'on':
+            return True
+        return False
 
     def _embed_value(self) -> jax.Array:
         e = self.embed[...]
@@ -412,7 +434,6 @@ class Codebook(ModeModule):
             embed_onehot = embed_onehot * mask[..., None].astype(jnp.float32)
 
         cluster_size = embed_onehot.sum(axis=1)                       # (h, c)
-        cluster_size = collectives.psum(cluster_size, self.sync_axis)
 
         # HIGHEST (default): on TPU the default precision lowers f32 matmuls
         # to one bf16 pass, which would round the x values accumulated into
@@ -424,6 +445,22 @@ class Codebook(ModeModule):
             preferred_element_type=jnp.float32,
             precision=self.stat_precision,
         )
+        self._apply_batch_stats(
+            cluster_size, embed_sum, ema_update_weight, accum_ema_update
+        )
+
+    def _apply_batch_stats(
+        self,
+        cluster_size: jax.Array,
+        embed_sum: jax.Array,
+        ema_update_weight=None,
+        accum_ema_update: bool = False,
+    ):
+        """psum this batch's (h, c) counts / (h, c, d) sums over the data
+        axis and fold them into the EMA state (or the manual accumulators).
+        Shared tail of the XLA stat einsums above and the fused train kernel
+        (kernels/train_fused.py), which computes the same stats in-VMEM."""
+        cluster_size = collectives.psum(cluster_size, self.sync_axis)
         embed_sum = collectives.psum(embed_sum, self.sync_axis)
 
         if callable(ema_update_weight):
@@ -551,6 +588,36 @@ class Codebook(ModeModule):
 
         self.track_cluster_size_and_embed_avg(
             flatten, embed_onehot, mask, ema_update_weight, accum_ema_update
+        )
+
+        if accum_ema_update:
+            return
+
+        if ema_update and not self.manual_ema_update:
+            self.update_ema()
+
+        self.expire_codes_(flatten, seq_mask=mask)
+
+    def update_codebook_from_stats(
+        self,
+        flatten: jax.Array,
+        cluster_size: jax.Array,
+        embed_sum: jax.Array,
+        mask: jax.Array | None = None,
+        ema_update_weight=None,
+        accum_ema_update: bool = False,
+        ema_update: bool | None = None,
+    ):
+        """update_codebook for pre-computed batch statistics (the fused
+        train kernel returns bins/embed_sum alongside the lookup); same
+        track -> ema -> expire ordering."""
+        ema_update = default(ema_update, self.ema_update)
+
+        if not ema_update and not self.has_dead_code_replacement:
+            return
+
+        self._apply_batch_stats(
+            cluster_size, embed_sum, ema_update_weight, accum_ema_update
         )
 
         if accum_ema_update:
@@ -692,9 +759,49 @@ class Codebook(ModeModule):
         transformed_embed = None
         dist = None
         tier_quantize_flat = None
+        fused_stats = None
         code_parallel = self._code_parallel()
 
-        if fast_path and not self.training and self.quantize_tier == 'bf16':
+        use_fused = (
+            fast_path
+            and self.training
+            and update_usage
+            and not freeze_codebook
+            and not code_parallel
+            and not self.affine_param          # stats use re-parameterized x
+            and self.vq_bridge is None         # lookup must carry embed grads
+            and not self.learnable_codebook
+            and self._train_fused_active()
+        )
+        if use_fused:
+            # one VMEM pass per token block: selection, bit-exact lookup and
+            # the weighted EMA statistics (kernels/train_fused.py). Outputs
+            # are stop_gradient'd — identical to the EMA path's semantics
+            # (integer indices; detached codebook rows; stats feed Variables)
+            interp = jax.default_backend() != 'tpu'
+            w = None
+            if flat_mask is not None:
+                w = flat_mask.astype(jnp.float32)
+            # sg on the INPUTS: the kernel has no JVP rule, and the EMA path
+            # is non-differentiable by contract anyway (integer indices,
+            # detached codebook rows, stats into Variables) — without this,
+            # differentiating the surrounding loss w.r.t. encoder params
+            # would hit the pallas_call with nonzero tangents and crash
+            outs = [
+                fused_train_quantize(
+                    sg(flatten[i]), sg(embed[i]), metric,
+                    None if w is None else sg(w[i]), interpret=interp,
+                )
+                for i in range(h)
+            ]
+            embed_ind_flat = jnp.stack([o[0] for o in outs])      # (h, N)
+            tier_quantize_flat = sg(jnp.stack([o[1] for o in outs]))
+            fused_stats = (
+                sg(jnp.stack([o[2] for o in outs])),              # (h, c)
+                sg(jnp.stack([o[3] for o in outs])),              # (h, c, d)
+            )
+            embed_onehot = None
+        elif fast_path and not self.training and self.quantize_tier == 'bf16':
             # eval/serving bf16 tier: fused selection + lookup on bf16-cast
             # operands (2 MXU passes; exact w.r.t. the bf16 values). Indices
             # may differ from the exact tier near f32-level ties — that is
@@ -888,26 +995,39 @@ class Codebook(ModeModule):
             and not freeze_codebook
             and topk is None
         ):
-            if code_parallel:
-                # the statistics are tracked on the LOCAL rows: a one-hot
-                # over this shard's column window (zero rows for codes owned
-                # by other shards); cluster_size/embed_avg shards then update
-                # independently, and only the laplace total crosses shards
-                embed_onehot = local_onehot_from_global(
-                    embed_ind_flat, embed.shape[1], self._code_row0()
+            if fused_stats is not None:
+                # batch statistics already computed in-VMEM by the fused
+                # kernel (mask weighting applied there)
+                self.update_codebook_from_stats(
+                    flatten,
+                    *fused_stats,
+                    mask=flat_mask,
+                    ema_update_weight=ema_update_weight,
+                    accum_ema_update=accum_ema_update,
+                    ema_update=ema_update,
                 )
-            elif embed_onehot is None:
-                embed_onehot = jax.nn.one_hot(
-                    embed_ind_flat, self.codebook_size, dtype=jnp.float32
+            else:
+                if code_parallel:
+                    # the statistics are tracked on the LOCAL rows: a one-hot
+                    # over this shard's column window (zero rows for codes
+                    # owned by other shards); cluster_size/embed_avg shards
+                    # then update independently, and only the laplace total
+                    # crosses shards
+                    embed_onehot = local_onehot_from_global(
+                        embed_ind_flat, embed.shape[1], self._code_row0()
+                    )
+                elif embed_onehot is None:
+                    embed_onehot = jax.nn.one_hot(
+                        embed_ind_flat, self.codebook_size, dtype=jnp.float32
+                    )
+                self.update_codebook(
+                    flatten,
+                    embed_onehot,
+                    mask=flat_mask,
+                    ema_update_weight=ema_update_weight,
+                    accum_ema_update=accum_ema_update,
+                    ema_update=ema_update,
                 )
-            self.update_codebook(
-                flatten,
-                embed_onehot,
-                mask=flat_mask,
-                ema_update_weight=ema_update_weight,
-                accum_ema_update=accum_ema_update,
-                ema_update=ema_update,
-            )
 
         if needs_codebook_dim:
             quantize = quantize[0]

@@ -126,6 +126,7 @@ class VectorQuantize(ModeModule):
         use_pallas: bool = True,
         stat_precision=jax.lax.Precision.HIGHEST,
         quantize_tier: str = 'exact',
+        train_fused: str = 'auto',
         rngs: nnx.Rngs | None = None,
     ):
         if rngs is None:
@@ -284,6 +285,7 @@ class VectorQuantize(ModeModule):
             stat_precision=stat_precision,
             code_axis=code_axis,
             quantize_tier=quantize_tier,
+            train_fused=train_fused,
             rngs=rngs,
         )
 
