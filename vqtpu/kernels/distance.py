@@ -20,11 +20,12 @@ shape (n=1M tokens, c=512, d=256, f32):
 
 2. `backend='pallas'`: a manually double-buffered Pallas kernel — x streams
    HBM->VMEM in chunks overlapped with MXU scoring, codebook resident in
-   VMEM, running argmax via a where/iota epilogue. Ties the XLA path on the
-   headline shape and is the building block for the sharded-codebook path
-   (vqtpu.parallel.shard.sharded_nearest_code). Also used when XLA's
-   matmul+argmax fusion breaks (very large n*c where the score matrix would
-   spill).
+   VMEM, running argmax via a where/iota epilogue. The auto winner at
+   512<=c<=1024, d<=256, n>=2^18 (measured round 2); the tiled variant
+   covers codebooks beyond VMEM as an exact fallback. (The sharded-codebook
+   path, vqtpu.parallel.shard.sharded_nearest_code, composes per-shard
+   `nearest_code_xla` with an elementwise winner reduction — XLA wins at
+   per-shard scale.)
 
 Both paths agree exactly with `nearest_code_xla` (first-index tie-break);
 the test-suite asserts index equality in interpreter mode.
