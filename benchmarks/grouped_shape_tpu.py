@@ -115,6 +115,24 @@ def main():
     t = slope(sel_seq, xg, embedg)
     print(f'select 2 separate   : {t*1e3:7.3f} ms ({G*pass_ms/(t*1e3)*100:3.0f}% of {G}-pass)')
 
+    # vmapped Pallas over the group dim (nearest_code vmaps leading dims;
+    # whether jax.vmap lifts the pipelined pallas_call is itself part of the
+    # experiment — the grid fallback should lift regardless)
+    from vqtpu.kernels.distance import nearest_code
+
+    for bn in (1024, 2048):
+        def sel_pallas_g(acc, xg, eg, _bn=bn):
+            i = nearest_code(xg + acc * 1e-20, eg, backend='pallas',
+                             block_n=_bn)
+            return acc + i.sum().astype(jnp.float32) * 1e-12
+
+        try:
+            t = slope(sel_pallas_g, xg, embedg)
+            print(f'select vmap-Pallas bn={bn:4d}: {t*1e3:7.3f} ms '
+                  f'({G*pass_ms/(t*1e3)*100:3.0f}% of {G}-pass)')
+        except Exception as e:
+            print(f'select vmap-Pallas bn={bn:4d}: FAILED ({type(e).__name__})')
+
     # --- lookup alone ----------------------------------------------------
     def lk_take(acc, e, idx):
         ii = idx + (acc * 0).astype(jnp.int32)
