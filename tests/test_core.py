@@ -458,3 +458,60 @@ def test_fused_train_quantize_matches_oracle(metric, shape):
         precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(
         np.asarray(esum), np.asarray(oracle_esum), rtol=1e-6, atol=1e-5)
+
+
+@pytest.mark.parametrize('seed', range(4, 7))
+def test_native_oracle_fused_train_fuzz(seed):
+    """The fused train kernel joins the three-way fuzz: its indices must
+    match the XLA argmin exactly (and the C double-precision oracle up to
+    provable f32 near-ties), its lookup rows must be bit-exact codebook
+    rows, and its statistics must match a numpy accumulation."""
+    from vqtpu.kernels import native_check
+    from vqtpu.kernels.train_fused import fused_train_quantize
+
+    if not native_check.available():
+        pytest.skip('native toolchain unavailable')
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(8, 300))
+    c = int(rng.integers(4, 200))
+    d = int(rng.integers(2, 150))
+    metric = 'cosine' if seed % 2 else 'euclidean'
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(seed), (n, d)))
+    e = np.asarray(jax.random.normal(jax.random.PRNGKey(seed + 99), (c, d)))
+    if metric == 'cosine':
+        x = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        e = e / np.linalg.norm(e, axis=-1, keepdims=True)
+    w = np.asarray(
+        (jax.random.uniform(jax.random.PRNGKey(seed + 7), (n,)) > 0.25)
+    ).astype(np.float32)
+
+    idx, q, bins, esum = fused_train_quantize(
+        jnp.asarray(x), jnp.asarray(e), metric,
+        weights=jnp.asarray(w), interpret=True)
+    idx = np.asarray(idx)
+
+    got_xla = np.asarray(
+        nearest_code_xla(jnp.asarray(x), jnp.asarray(e), metric))
+    assert (idx == got_xla).all(), (n, c, d, metric)
+
+    oracle = native_check.nearest_code_ref(x, e, metric)
+    mismatch = oracle != idx
+    if mismatch.any():
+        xe, ee = x.astype(np.float64), e.astype(np.float64)
+        d2 = ((xe[:, None, :] - ee[None]) ** 2).sum(-1) if metric == 'euclidean' \
+            else -(xe @ ee.T)
+        gap = np.abs(
+            d2[np.arange(n), idx] - d2[np.arange(n), oracle])[mismatch]
+        assert (gap <= 1e-5 * np.abs(d2).max()).all(), (n, c, d, metric)
+
+    # lookup rows: bit-exact
+    np.testing.assert_array_equal(np.asarray(q), e[idx])
+    # stats vs numpy accumulation
+    np.testing.assert_allclose(
+        np.asarray(bins),
+        np.bincount(idx, weights=w, minlength=c), atol=1e-4)
+    esum_ref = np.zeros((c, d), np.float64)
+    np.add.at(esum_ref, idx, x.astype(np.float64) * w[:, None])
+    np.testing.assert_allclose(
+        np.asarray(esum), esum_ref.astype(np.float32), rtol=1e-5, atol=1e-4)
