@@ -771,6 +771,7 @@ class Codebook(ModeModule):
             and not self.affine_param          # stats use re-parameterized x
             and self.vq_bridge is None         # lookup must carry embed grads
             and not self.learnable_codebook
+            and self.use_pallas                # the no-Pallas escape hatch
             and self._train_fused_active()
         )
         if use_fused:
