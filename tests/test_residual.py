@@ -380,3 +380,28 @@ def test_beam_score_precision_knob():
     t_det(x)
     np.testing.assert_array_equal(
         np.asarray(t_ref.codebooks), np.asarray(t_det.codebooks))
+
+
+def test_residual_vq_train_fused_matches_standard():
+    """train_fused rides **vq_kwargs into every ResidualVQ layer: training
+    indices bit-match the standard path (incl. quantize-dropout's traced
+    per-layer ema weights flowing into the fused statistics)."""
+    import numpy as np
+
+    def build(fused):
+        return ResidualVQ(
+            dim=16, num_quantizers=3, codebook_size=32, decay=0.8,
+            train_fused='on' if fused else 'off', rngs=nnx.Rngs(0),
+        )
+
+    ref, fus = build(False), build(True)
+    for s in range(3):
+        x = jax.random.normal(jax.random.PRNGKey(s), (2, 24, 16))
+        qr, ir, lr = ref(x)
+        qf, if_, lf = fus(x)
+        assert (np.asarray(ir) == np.asarray(if_)).all(), f'step {s}'
+        np.testing.assert_allclose(
+            np.asarray(qr), np.asarray(qf), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ref.layers[0]._codebook.embed[...]),
+        np.asarray(fus.layers[0]._codebook.embed[...]), rtol=1e-6, atol=1e-5)
