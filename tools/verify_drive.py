@@ -151,6 +151,23 @@ if mode == 'tpu':
     assert (q_b == jnp.take(cb.astype(jnp.bfloat16), idx_b, axis=0)).all()
     print('on-device gather exactness + bf16 tier ok')
 
+    # fused train kernel: Mosaic must honor the HIGHEST one-hot matmuls —
+    # indices match selection, lookup rows bit-exact, stats at f32
+    # accumulation-order tolerance (train_fused ships only through this)
+    from vqtpu.kernels.train_fused import fused_train_quantize
+    fidx, fq, fbins, fesum = jax.jit(fused_train_quantize)(xx, cb)
+    assert (fidx == ix).all(), 'fused idx != selection idx on device'
+    assert (fq == jnp.take(cb, fidx, axis=0)).all(), \
+        'fused lookup rows not bit-exact on device'
+    onehot = jax.nn.one_hot(fidx, cb.shape[0], dtype=jnp.float32)
+    ref_esum = jnp.einsum('nd,nc->cd', xx, onehot,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    assert (fbins == onehot.sum(0)).all(), 'fused bins mismatch on device'
+    esum_err = float(jnp.abs(fesum - ref_esum).max())
+    assert esum_err <= 1e-3, f'fused esum err {esum_err}'
+    print(f'on-device fused train kernel ok (esum max err {esum_err:.2e})')
+
 print(f'VERIFY {mode.upper()} PASS')
 
 # ---- 7. checkpoint + metrics drive (added with the checkpoint subsystem) ---
