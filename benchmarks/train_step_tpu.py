@@ -145,6 +145,52 @@ def fused(block_n=1024):
           f'{N/t/1e6:.0f} Mtok/s  ({t/pass_t:.1f} passes-equiv)')
 
 
+def train_step_shared_onehot(x, embed, embed_avg, cluster_size):
+    """VERDICT r2 #2's other attack: materialize the one-hot ONCE and feed
+    the lookup AND both stat contractions from it (the shipped path builds
+    one inside gather_codes and another for stats; XLA may or may not CSE
+    them). Structural count: 1 selection + 3 lookup + 3 esum = the 7-pass
+    floor, if XLA schedules it cleanly."""
+    from vqtpu.kernels.distance import nearest_code
+
+    idx = nearest_code(x, embed)
+    onehot = jax.nn.one_hot(idx, C, dtype=jnp.float32)
+    q = jnp.einsum(
+        'nc,cd->nd', onehot, embed,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    bins = onehot.sum(axis=0)
+    embed_sum = jnp.einsum(
+        'nd,nc->cd', x, onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cs = cluster_size + (bins - cluster_size) * (1 - DECAY)
+    ea = embed_avg + (embed_sum - embed_avg) * (1 - DECAY)
+    smoothed = laplace_smoothing(cs, C, EPS) * cs.sum()
+    return idx, q, cs, ea, ea / smoothed[:, None]
+
+
+def shared_onehot():
+    from vqtpu.utils import timeit_chained
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (N, D), jnp.float32)
+    embed = jax.random.normal(jax.random.PRNGKey(1), (C, D), jnp.float32)
+    t = timeit_chained(
+        train_step_shared_onehot, x, embed, embed.astype(jnp.float32),
+        jnp.ones(C, jnp.float32), lo=2, hi=10, perturb_arg=1,
+    )
+    pass_t = 2 * N * C * D / 197e12
+    print(f'train forward (shared one-hot):   {t*1e3:.3f} ms  '
+          f'{N/t/1e6:.0f} Mtok/s  ({t/pass_t:.1f} passes-equiv)')
+
+
+if __name__ == '__main__':
+    shared_onehot()
+
+
 def fused_sweep():
     for bn in (512, 1024, 2048, 4096):
         try:
