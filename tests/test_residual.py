@@ -405,3 +405,31 @@ def test_residual_vq_train_fused_matches_standard():
     np.testing.assert_allclose(
         np.asarray(ref.layers[0]._codebook.embed[...]),
         np.asarray(fus.layers[0]._codebook.embed[...]), rtol=1e-6, atol=1e-5)
+
+
+def test_residual_vq_shared_codebook_train_fused_matches_standard():
+    """shared_codebook defers EMA application to after the layer loop (one
+    drain of the accumulated statistics); the fused kernel's stats must
+    accumulate identically."""
+    import numpy as np
+
+    def build(fused):
+        return ResidualVQ(
+            dim=16, num_quantizers=3, codebook_size=32, decay=0.8,
+            shared_codebook=True,
+            train_fused='on' if fused else 'off', rngs=nnx.Rngs(0),
+        )
+
+    ref, fus = build(False), build(True)
+    for s in range(2):
+        x = jax.random.normal(jax.random.PRNGKey(s), (2, 24, 16))
+        _, ir, _ = ref(x)
+        _, if_, _ = fus(x)
+        assert (np.asarray(ir) == np.asarray(if_)).all(), f'step {s}'
+    np.testing.assert_allclose(
+        np.asarray(ref.layers[0]._codebook.embed[...]),
+        np.asarray(fus.layers[0]._codebook.embed[...]), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref.layers[0]._codebook.cluster_size[...]),
+        np.asarray(fus.layers[0]._codebook.cluster_size[...]),
+        rtol=1e-6, atol=1e-5)
