@@ -647,3 +647,24 @@ def test_train_fused_under_value_and_grad():
         for s in range(25)
     ]
     assert losses[-1] < losses[0], losses
+
+
+def test_train_fused_accum_ema_matches_standard():
+    """Micro-batch accumulation (accum_ema_update) drains identically
+    whether the statistics came from the fused kernel or the XLA einsums."""
+    ref = VectorQuantize(dim=32, codebook_size=64, rngs=nnx.Rngs(0))
+    fus = VectorQuantize(dim=32, codebook_size=64, train_fused='on',
+                         rngs=nnx.Rngs(0))
+    xs = [jax.random.normal(jax.random.PRNGKey(s), (4, 16, 32))
+          for s in range(3)]
+    for m in (ref, fus):
+        m(xs[0], accum_ema_update=True)
+        m(xs[1], accum_ema_update=True)
+        m(xs[2])                      # drains the accumulators
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.embed[...]),
+        np.asarray(fus._codebook.embed[...]), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref._codebook.cluster_size[...]),
+        np.asarray(fus._codebook.cluster_size[...]), rtol=1e-6, atol=1e-5)
+    assert float(jnp.abs(fus._codebook.accum_embed_avg[...]).max()) == 0.0
