@@ -527,7 +527,8 @@ def _train_pair(steps=3, n=64, seq=33, **kw):
     {'use_cosine_sim': True},
     {'heads': 2, 'separate_codebook_per_head': True, 'codebook_dim': 16},
     {'threshold_ema_dead_code': 0.0},        # no expiry branch
-], ids=['ema', 'cosine', 'heads', 'no-expiry'])
+    {'affine_param': True},                  # stats post-transformed s·e+t·b
+], ids=['ema', 'cosine', 'heads', 'no-expiry', 'affine'])
 def test_train_fused_matches_module(kw):
     """VectorQuantize(train_fused='on') reproduces the default training
     forward: indices and quantize bit-identical (the kernel's lookup is
@@ -586,7 +587,6 @@ def test_train_fused_falls_back_when_ineligible():
     still train."""
     for kw in (
         {'learnable_codebook': True, 'ema_update': False},
-        {'affine_param': True},
         {'commitment_use_cross_entropy_loss': True, 'commitment_weight': 1.0},
     ):
         vq = VectorQuantize(dim=32, codebook_size=64, train_fused='on',

@@ -163,10 +163,11 @@ class Codebook(ModeModule):
         # fused training step (kernels/train_fused.py): selection + bit-exact
         # lookup + EMA statistics in one VMEM pass per token block, so the
         # (n, c) one-hot never round-trips HBM and x is read once. 'on'
-        # forces it wherever eligible (plain EMA training forward: no
-        # distance-needing features, no affine/vq_bridge/learnable/sharded
-        # codebook); 'off' never; 'auto' defers to the on-silicon measured
-        # policy (benchmarks/train_step_tpu.py — stays on the XLA composition
+        # forces it wherever eligible (EMA training forward: no
+        # distance-needing features, no vq_bridge/learnable/sharded
+        # codebook; affine stats ride via an exact post-transform); 'off'
+        # never; 'auto' defers to the on-silicon measured policy
+        # (benchmarks/train_step_tpu.py — stays on the XLA composition
         # until the kernel beats it at the shape in question).
         assert train_fused in ('auto', 'on', 'off'), train_fused
         self.train_fused = train_fused
@@ -768,7 +769,6 @@ class Codebook(ModeModule):
             and update_usage
             and not freeze_codebook
             and not code_parallel
-            and not self.affine_param          # stats use re-parameterized x
             and self.vq_bridge is None         # lookup must carry embed grads
             and not self.learnable_codebook
             and self.use_pallas                # the no-Pallas escape hatch
@@ -797,10 +797,21 @@ class Codebook(ModeModule):
             ]
             embed_ind_flat = jnp.stack([o[0] for o in outs])      # (h, N)
             tier_quantize_flat = sg(jnp.stack([o[1] for o in outs]))
-            fused_stats = (
-                sg(jnp.stack([o[2] for o in outs])),              # (h, c)
-                sg(jnp.stack([o[3] for o in outs])),              # (h, c, d)
-            )
+            bins = sg(jnp.stack([o[2] for o in outs]))            # (h, c)
+            esum = sg(jnp.stack([o[3] for o in outs]))            # (h, c, d)
+            if self.affine_param:
+                # the affine re-parameterization distributes exactly over
+                # the weighted sums the kernel computed on RAW x:
+                #   sum w·(x·s + t) = s·(sum w·x) + t·(sum w)
+                # with s/t the per-dim batch->codebook map
+                # (_affine_to_codebook); only f32 rounding differs from
+                # transforming x before the contraction
+                c_std = jnp.sqrt(jnp.maximum(self.codebook_variance[...], 1e-5))
+                b_std = jnp.sqrt(jnp.maximum(self.batch_variance[...], 1e-5))
+                s = sg(c_std / b_std)                             # (h, 1, d)
+                t = sg(self.codebook_mean[...] - self.batch_mean[...] * s)
+                esum = s * esum + bins[..., None] * t
+            fused_stats = (bins, esum)
             embed_onehot = None
         elif fast_path and not self.training and self.quantize_tier == 'bf16':
             # eval/serving bf16 tier: fused selection + lookup on bf16-cast
