@@ -792,3 +792,37 @@ def test_multihead_residual_vq_rejected_in_both():
         ref.ResidualVQ(**kw)
     with pytest.raises(AssertionError, match='not compatible'):
         vqtpu.ResidualVQ(rngs=nnx.Rngs(0), **kw)
+
+
+def test_hierarchical_vq_multi_smoother_parity():
+    """share_quant_resi=2 over 4 scales: the scale->smoother index mapping
+    (reference hierarchical_vq.py:87-102 runtime branching; vqtpu resolves
+    it once into a ctor-time index table) must pick the same smoother for
+    every scale — pinned by copying BOTH convs and comparing the forward."""
+    torch.manual_seed(52)
+    kw = dict(dim=8, codebook_size=16, scales=(1, 2, 3, 4),
+              kmeans_init=False, threshold_ema_dead_code=0, quant_resi=0.5,
+              share_quant_resi=2, accept_image_fmap=True)
+    rh = ref.HierarchicalVQ(**kw)
+    oh = vqtpu.HierarchicalVQ(rngs=nnx.Rngs(0), **kw)
+    oh.vq._codebook.embed.value = jnp.asarray(t2n(rh.vq._codebook.embed))
+    oh.vq._codebook.embed_avg.value = jnp.asarray(
+        t2n(rh.vq._codebook.embed_avg))
+    oh.vq._codebook.cluster_size.value = jnp.asarray(
+        t2n(rh.vq._codebook.cluster_size))
+    assert rh.phi_shared is None and len(rh.phi_levels) == 2
+    assert len(oh.phi_levels) == 2
+    for rphi, ophi in zip(rh.phi_levels, oh.phi_levels):
+        ophi.conv.kernel.value = jnp.asarray(
+            np.transpose(t2n(rphi.conv.weight), (2, 3, 1, 0)))
+        ophi.conv.bias.value = jnp.asarray(t2n(rphi.conv.bias))
+
+    rh.eval()
+    oh.eval()
+    fmap = np.random.default_rng(53).standard_normal(
+        (2, 8, 4, 4)).astype(np.float32)
+    r_out = rh(torch.from_numpy(fmap))
+    o_out = oh(jnp.asarray(fmap))
+    for i, (ri, oi) in enumerate(zip(r_out[1], o_out[1])):
+        assert (t2n(ri) == np.asarray(oi)).all(), f'scale {i} indices'
+    assert_close(t2n(r_out[0]), o_out[0], atol=1e-5, what='hq multi-phi recon')
