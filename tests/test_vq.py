@@ -529,7 +529,9 @@ def _train_pair(steps=3, n=64, seq=33, **kw):
     {'threshold_ema_dead_code': 0.0},        # no expiry branch
     {'affine_param': True},                  # stats post-transformed s·e+t·b
     {'kmeans_init': True, 'kmeans_iters': 3},  # lax.cond init before kernel
-], ids=['ema', 'cosine', 'heads', 'no-expiry', 'affine', 'kmeans'])
+    {'threshold_ema_dead_code': 2.0},        # expiry draws after the kernel
+], ids=['ema', 'cosine', 'heads', 'no-expiry', 'affine', 'kmeans',
+        'expiry'])
 def test_train_fused_matches_module(kw):
     """VectorQuantize(train_fused='on') reproduces the default training
     forward: indices and quantize bit-identical (the kernel's lookup is
