@@ -17,7 +17,7 @@ from common import train_loop
 
 def main(train_iter=1000, lr=3e-4, dim=32, num_codes=256, seed=1234,
          rotation_trick=True, straight_through=False, directional_reparam=False,
-         alpha=10.0, batch_size=256):
+         alpha=10.0, batch_size=256, train_fused='auto'):
     rngs = nnx.Rngs(seed)
     model = SimpleQuantizeAutoEncoder(
         VectorQuantize(
@@ -26,6 +26,7 @@ def main(train_iter=1000, lr=3e-4, dim=32, num_codes=256, seed=1234,
             straight_through=straight_through,
             directional_reparam=directional_reparam,
             threshold_ema_dead_code=2 if directional_reparam else 0,
+            train_fused=train_fused,
             rngs=rngs,
         ),
         dim=dim, rngs=rngs,
@@ -50,9 +51,14 @@ if __name__ == '__main__':
     p.add_argument('--seed', type=int, default=1234)
     p.add_argument('--straight_through', action='store_true')
     p.add_argument('--directional_reparam', action='store_true')
+    p.add_argument('--train_fused', choices=('auto', 'on', 'off'),
+                   default='auto',
+                   help='route the EMA training forward through the fused '
+                        'Pallas train kernel (see README Performance)')
     a = p.parse_args()
     main(train_iter=a.train_iter, batch_size=a.batch_size,
          dim=a.dim, num_codes=a.num_codes, seed=a.seed,
          rotation_trick=not (a.straight_through or a.directional_reparam),
          straight_through=a.straight_through,
-         directional_reparam=a.directional_reparam)
+         directional_reparam=a.directional_reparam,
+         train_fused=a.train_fused)
