@@ -117,6 +117,14 @@ check('HierarchicalVQ', lambda: (
     (lambda m: m(jax.random.normal(k, (2, 32, 4, 4))))(
         vqtpu.HierarchicalVQ(dim=32, codebook_size=64, scales=(1, 2, 4),
                              accept_image_fmap=True, rngs=r()))))
+check('VQ bf16 tier (eval)', lambda: (
+    (lambda m: (m.eval(), m(x), rt(m, x, atol=1e-2)))(
+        vqtpu.VectorQuantize(dim=32, codebook_size=64,
+                             quantize_tier='bf16', rngs=r()))))
+check('VQ train_fused=on', lambda: (
+    (lambda m: (m(x), m(x)))(
+        vqtpu.VectorQuantize(dim=32, codebook_size=64,
+                             train_fused='on', rngs=r()))))
 
 fails = [x for x in results if x[1] != 'OK']
 for name, res in results:
