@@ -772,6 +772,9 @@ class Codebook(ModeModule):
             and self.vq_bridge is None         # lookup must carry embed grads
             and not self.learnable_codebook
             and self.use_pallas                # the no-Pallas escape hatch
+            # the kernel's stat matmuls are HIGHEST by construction; a user
+            # who chose the faster bf16-rounded stats keeps the XLA path
+            and self.stat_precision == jax.lax.Precision.HIGHEST
             and self._train_fused_active()
         )
         if use_fused:
