@@ -25,7 +25,7 @@ run() {  # run <name> <timeout-s> <cmd...>
 run bench 1200 python bench.py
 
 # 2. verify drive on silicon (kernel exactness gate)
-run verify_tpu 1200 python tools/verify_drive.py
+run verify_tpu 1200 python tools/verify_drive.py tpu
 
 # 3. fused train kernel: exactness gate + block_n sweep (VERDICT item 2)
 run train_step 2400 python benchmarks/train_step_tpu.py
