@@ -26,6 +26,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import shlex
+import subprocess
 import sys
 import time
 
@@ -92,10 +95,63 @@ def chained_seconds_per_iter(quantize_fn, x, embed, lo: int = 4, hi: int = 52) -
     return sorted(slopes)[len(slopes) // 2]
 
 
+def probe_backend(timeout_s: float = 240.0) -> str | None:
+    """Probe JAX backend init in a subprocess so an unavailable TPU tunnel
+    cannot take the bench down with it.
+
+    The round-3 outage RAISED inside the PJRT plugin (BENCH_r03.json tail);
+    the round-4 outage HANGS inside the chip claim — a subprocess with a
+    timeout catches both. Returns an error string on failure, None if the
+    backend came up.
+    """
+    cmd = [sys.executable, '-c', 'import jax; print(jax.default_backend())']
+    override = os.environ.get('VQTPU_BENCH_PROBE_CMD')  # test hook
+    if override:
+        cmd = shlex.split(override)
+    timeout_s = float(os.environ.get('VQTPU_BENCH_PROBE_TIMEOUT', timeout_s))
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return f'backend init hung >{timeout_s:.0f}s (tunnel down?)'
+    if out.returncode != 0:
+        tail = (out.stderr or out.stdout or '').strip().splitlines()
+        return tail[-1][:300] if tail else f'probe rc={out.returncode}'
+    return None
+
+
+def emit_skipped(detail: str) -> None:
+    """One parseable JSON line so the driver can tell infra outage from repo
+    breakage (VERDICT r3 item 5: BENCH_r03 recorded `parsed: null`)."""
+    print(json.dumps({
+        'metric': 'quantize_vectors_per_sec_per_chip',
+        'value': None,
+        'unit': 'vectors/s',
+        'vs_baseline': None,
+        'skipped': 'tpu-unavailable',
+        'detail': detail,
+    }))
+    print(f'# SKIPPED: {detail}', file=sys.stderr)
+
+
 def main():
     from vqtpu.kernels.distance import quantize_lookup
 
-    on_tpu = jax.default_backend() == 'tpu'
+    # Only probe when the first-choice platform could be the tunneled TPU —
+    # CPU init cannot hang, and the CPU-pinned contract test must not dial
+    # the tunnel from the probe subprocess.
+    first_platform = (jax.config.jax_platforms or '').split(',')[0]
+    if first_platform not in ('cpu',):
+        err = probe_backend()
+        if err is not None:
+            emit_skipped(err)
+            return
+
+    try:
+        on_tpu = jax.default_backend() == 'tpu'
+    except RuntimeError as e:  # probe raced an outage
+        emit_skipped(str(e).splitlines()[-1][:300])
+        return
 
     batch, seq, d, c = (1024, 1024, 256, 512) if on_tpu else (8, 1024, 256, 512)
     n = batch * seq
