@@ -360,11 +360,15 @@ def test_bf16_tier_exact_on_bf16_inputs():
 
 
 @pytest.mark.parametrize('metric', ('euclidean', 'cosine'))
-def test_tiled_selection_kernel_matches_xla(metric):
+@pytest.mark.parametrize('blocks', (None, (1024, 1024), (4096, 256),
+                                    (2048, 512)))
+def test_tiled_selection_kernel_matches_xla(metric, blocks):
     """The tiled-codebook selection kernel (codebook streamed through VMEM,
     running argmax carry in scratch — the path for codebooks beyond the
     resident-VMEM budget) must agree exactly with the XLA argmin, including
-    non-multiple shapes and padded tiles."""
+    non-multiple shapes and padded tiles, across the blocking sweep (r4
+    restructure: inverted aspect amortizes codebook re-streaming; None =
+    the auto policy)."""
     from vqtpu.kernels.distance import _nearest_code_tiled
 
     n, c, d = 1000, 5000, 130
@@ -374,7 +378,9 @@ def test_tiled_selection_kernel_matches_xla(metric):
         x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
         e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
     want = nearest_code_xla(x, e, metric)
-    got = _nearest_code_tiled(x, e, metric, interpret=True)
+    block_n, c_tile = blocks if blocks else (None, None)
+    got = _nearest_code_tiled(x, e, metric, block_n=block_n, c_tile=c_tile,
+                              interpret=True)
     assert (want == got).all()
 
 

@@ -95,6 +95,10 @@ EOF
 # 8. composite zoo throughput regression (BASELINE round-2 table refresh)
 run composites 2400 python benchmarks/composites_tpu.py
 
+# 8b. large-c selection: restructured tiled kernel vs XLA (VERDICT r3 item
+# 8 — the ONE new blocking attempt; flip the auto policy or certify XLA)
+run largec_tiled 2400 python benchmarks/largec_tiled_tpu.py
+
 # 9. all-quantizer TPU smoke (long; last)
 run smoke_all 2400 python benchmarks/tpu_smoke_all.py
 

@@ -153,9 +153,15 @@ def _tiled_select_kernel(
     codebook streams through VMEM tile by tile (Mosaic double-buffers the
     tile loads) while a running (best score, best index) pair persists in
     scratch across the tile dimension. Tie-break: strict improvement across
-    tiles + first-index within a tile == global first-index argmax."""
+    tiles + first-index within a tile == global first-index argmax.
+
+    The carry lives lane-packed as (block_n/128, 128) — a (block_n, 1) VMEM
+    scratch pads to 128 lanes (128x memory: 2MB wasted per buffer at
+    block_n=4096, which matters against the 16MB VMEM budget now that the
+    r4 blocking grows block_n)."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
+    rows = best_ref.shape[0]
 
     scores = jax.lax.dot_general(
         x_ref[:], c_ref[:], (((1,), (1,)), ((), ())),
@@ -168,6 +174,8 @@ def _tiled_select_kernel(
         jnp.where(scores >= local_best, iota + j * c_tile, jnp.int32(2**30)),
         axis=1, keepdims=True,
     )
+    local_best = local_best.reshape(rows, 128)
+    local_idx = local_idx.reshape(rows, 128)
 
     @pl.when(j == 0)
     def _():
@@ -180,7 +188,7 @@ def _tiled_select_kernel(
 
     @pl.when(j == n_j - 1)
     def _():
-        idx_ref[:] = bidx_ref[:].reshape(idx_ref.shape)
+        idx_ref[:] = bidx_ref[:]
 
 
 @functools.partial(
@@ -211,8 +219,8 @@ def _nearest_code_pallas_tiled(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // block_n * rows, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((block_n, 1), jnp.float32),
-            pltpu.VMEM((block_n, 1), jnp.int32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'arbitrary'),
@@ -480,18 +488,46 @@ def nearest_code(
     return idx[:orig_n]
 
 
+def _auto_tile(n: int, d: int) -> tuple[int, int]:
+    """Blocking for the tiled-codebook kernel (round-4 restructure).
+
+    The r2 shape (block_n=1024, c_tile=1024) re-streamed the WHOLE codebook
+    once per 1024 tokens, and per-tile MXU time (2.7us at d=256) barely
+    covered the tile DMA — measured ~70% of the MXU floor at c=8192-65536.
+    Growing both dims fails Mosaic compile (the (block_n, c_tile) f32 scores
+    buffer is the VMEM hog), but the aspect ratio is free: block_n up
+    (amortizes codebook traffic linearly — 4x fewer re-streams) and c_tile
+    down keeps the scores buffer constant at 8MB while raising the per-tile
+    compute:DMA ratio from ~2:1 to ~8:1.
+
+    Budgets (16MB VMEM, double-buffered x and codebook-tile streams):
+    x block block_n*d*4 <= 2MB; scores block_n*c_tile*4 <= 4MB. This lands
+    on (2048, 512) at d=256 — 2x fewer codebook re-streams than r2 at half
+    the scores buffer; benchmarks/largec_tiled_tpu.py sweeps the more
+    aggressive shapes (4096x256, 8192x256) that this conservative policy
+    leaves on the table pending a successful Mosaic compile on silicon.
+    """
+    d_pad = _round_up(d, 128)
+    block_n = min(4096, max(1024, (2 * 1024 * 1024 // (d_pad * 4)) // 1024 * 1024))
+    c_tile = min(512, max(128, (4 * 1024 * 1024 // (block_n * 4)) // 128 * 128))
+    return block_n, c_tile
+
+
 def _nearest_code_tiled(
     x: jax.Array,
     embed: jax.Array,
     metric: str,
     *,
-    block_n: int = 1024,
-    c_tile: int = 1024,
+    block_n: int | None = None,
+    c_tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Pad + dispatch to the tiled-codebook selection kernel (codebook
     larger than the VMEM-resident budget; tiles stream double-buffered)."""
     n, d = x.shape
+    auto_bn, auto_ct = _auto_tile(n, d)
+    block_n = auto_bn if block_n is None else block_n
+    c_tile = auto_ct if c_tile is None else c_tile
     x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
 
