@@ -831,3 +831,114 @@ def test_module_decode_bit_parity_across_worlds(world):
         check_vma=False,
     ))(state, ind)
     assert (np.asarray(dec) == np.asarray(dec_ref)).all()
+
+
+@pytest.mark.parametrize('world', [2, 8])
+@pytest.mark.parametrize('metric_kw', [{}, {'use_cosine_sim': True}],
+                         ids=['euclidean', 'cosine'])
+def test_code_sharded_bf16_tier_matches_unsharded(world, metric_kw):
+    """The bf16 serving tier composes with code_axis (r4): a row-sharded
+    eval forward on the bf16 tier must be BIT-identical to the unsharded
+    bf16 tier — per-column bf16 scores are shard-placement-invariant, the
+    winner reduction reproduces the first-index tie-break, and the local
+    one-hot lookup contributes exact bf16 rows."""
+    kw = dict(dim=32, codebook_size=64, quantize_tier='bf16', **metric_kw)
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 24, 32))
+
+    ref = VectorQuantize(rngs=nnx.Rngs(0), **kw)
+    ref.eval()
+    q_ref, ind_ref, _ = ref(x)
+    # the tier actually engaged: rows are bf16 values (module casts the
+    # output back to the f32 input dtype at vq.py:902, losslessly)
+    assert (np.asarray(q_ref)
+            == np.asarray(q_ref.astype(jnp.bfloat16).astype(q_ref.dtype))).all()
+
+    mesh = Mesh(np.array(jax.devices()[:world]).reshape(world), ('code',))
+    tp = VectorQuantize(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    q_tp, ind_tp = jax.jit(jax.shard_map(
+        lambda s, b: nnx.merge(graphdef, s)(b)[:2],
+        mesh=mesh, in_specs=(specs, P()), out_specs=(P(), P()),
+        check_vma=False,
+    ))(state, x)
+    assert (np.asarray(ind_tp) == np.asarray(ind_ref)).all()
+    assert q_tp.dtype == q_ref.dtype
+    assert (np.asarray(q_tp) == np.asarray(q_ref)).all()
+
+
+def test_bf16_tier_sharded_vs_exact_differs_only_at_ties():
+    """Sanity that the sharded bf16 tier is the TIER (bf16-rounded scores),
+    not the exact path in disguise: its quantized rows must equal the
+    bf16-cast of the codebook rows its indices select."""
+    kw = dict(dim=32, codebook_size=64, quantize_tier='bf16')
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ('code',))
+    tp = VectorQuantize(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 16, 32))
+    q, ind = jax.jit(jax.shard_map(
+        lambda s, b: nnx.merge(graphdef, s)(b)[:2],
+        mesh=mesh, in_specs=(specs, P()), out_specs=(P(), P()),
+        check_vma=False,
+    ))(state, x)
+    rows = np.asarray(tp.codebook)[np.asarray(ind)].astype(jnp.bfloat16)
+    assert (np.asarray(q) == rows.astype(q.dtype)).all()
+
+
+def test_residual_vq_code_sharded_bf16_tier():
+    """Composites inherit the tier: ResidualVQ(code_axis, quantize_tier=
+    'bf16') eval forward matches the unsharded bf16-tier RVQ bit-exactly
+    (identical per-layer rows => identical residual chain)."""
+    from vqtpu import ResidualVQ
+
+    kw = dict(dim=32, num_quantizers=3, codebook_size=64,
+              quantize_tier='bf16')
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 16, 32))
+
+    ref = ResidualVQ(rngs=nnx.Rngs(0), **kw)
+    ref.eval()
+    q_ref, ind_ref, _ = ref(x)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ('code',))
+    tp = ResidualVQ(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+    q_tp, ind_tp = jax.jit(jax.shard_map(
+        lambda s, b: nnx.merge(graphdef, s)(b)[:2],
+        mesh=mesh, in_specs=(specs, P()), out_specs=(P(), P()),
+        check_vma=False,
+    ))(state, x)
+    assert (np.asarray(ind_tp) == np.asarray(ind_ref)).all()
+    assert (np.asarray(q_tp) == np.asarray(q_ref)).all()
+
+
+@pytest.mark.parametrize('world', [2, 8])
+def test_code_sharded_bf16_tier_decode_bit_parity(world):
+    """Serving decode on the bf16 tier under code_axis: the sharded gather
+    takes the 1-pass bf16 path and must match the unsharded tier decode
+    bit-exactly."""
+    kw = dict(dim=32, codebook_size=64, quantize_tier='bf16')
+    ref = VectorQuantize(rngs=nnx.Rngs(0), **kw)
+    ref.eval()
+    ind = jax.random.randint(jax.random.PRNGKey(9), (4, 10), 0, 64)
+    dec_ref = ref.get_output_from_indices(ind)
+    assert dec_ref.dtype == jnp.bfloat16
+
+    mesh = Mesh(np.array(jax.devices()[:world]).reshape(world), ('code',))
+    tp = VectorQuantize(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    tp.eval()
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    dec = jax.jit(jax.shard_map(
+        lambda s, i: nnx.merge(graphdef, s).get_output_from_indices(i),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_vma=False,
+    ))(state, ind)
+    assert dec.dtype == dec_ref.dtype
+    assert (np.asarray(dec) == np.asarray(dec_ref)).all()

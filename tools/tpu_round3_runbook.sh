@@ -99,6 +99,31 @@ run composites 2400 python benchmarks/composites_tpu.py
 # 8 — the ONE new blocking attempt; flip the auto policy or certify XLA)
 run largec_tiled 2400 python benchmarks/largec_tiled_tpu.py
 
+# 8c. sharded bf16 serving tier (r4 feature): single-chip overhead vs the
+# unsharded tier at serving scale (world=1 axis binding, like decode row)
+run tp_bf16_tier 1200 python - << 'EOF'
+import sys; sys.path.insert(0, '/root/repo')
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from vqtpu.kernels.distance import quantize_lookup
+from vqtpu.parallel.shard import sharded_quantize_lookup_bf16
+from vqtpu.utils import timeit_chained
+
+n, c, d = 1 << 20, 4096, 256
+x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+e = jax.random.normal(jax.random.PRNGKey(1), (c, d), jnp.float32)
+t = timeit_chained(lambda x, e: quantize_lookup(x, e, tier='bf16'), x, e,
+                   lo=2, hi=10)
+print(f'unsharded bf16 tier: {t*1e3:.3f} ms ({n/t/1e6:.0f} Mvec/s)')
+mesh = Mesh(np.array(jax.devices()).reshape(1), ('code',))
+f = jax.jit(jax.shard_map(
+    lambda x, e: sharded_quantize_lookup_bf16(x, e, 'code'),
+    mesh=mesh, in_specs=(P(), P('code')), out_specs=(P(), P()),
+    check_vma=False))
+t = timeit_chained(f, x, e, lo=2, hi=10)
+print(f'sharded  bf16 tier (world=1): {t*1e3:.3f} ms ({n/t/1e6:.0f} Mvec/s)')
+EOF
+
 # 9. all-quantizer TPU smoke (long; last)
 run smoke_all 2400 python benchmarks/tpu_smoke_all.py
 

@@ -36,6 +36,7 @@ from ..parallel.shard import (
     local_onehot_from_global,
     sharded_gather_codes,
     sharded_nearest_code,
+    sharded_quantize_lookup_bf16,
     slice_local_cols,
 )
 from .kmeans import kmeans
@@ -153,12 +154,11 @@ class Codebook(ModeModule):
         # eval-time selection and lookup on bfloat16-cast operands with f32
         # accumulation — EXACT w.r.t. the bf16 values, 2 MXU passes instead
         # of 4 (measured 1.9-2.8x at c<=512 on v5e, BASELINE.md). Training
-        # forwards and EMA statistics always run the exact path.
+        # forwards and EMA statistics always run the exact path. Composes
+        # with code_axis: row-sharded eval forwards run the per-shard bf16
+        # tier + winner reduction (parallel.shard.sharded_quantize_lookup_
+        # bf16), bit-identical to the unsharded tier.
         assert quantize_tier in ('exact', 'bf16'), quantize_tier
-        assert not (quantize_tier == 'bf16' and code_axis is not None), (
-            'the bf16 tier is not supported on row-sharded (code_axis) '
-            'codebooks yet — the sharded selection reduction is f32'
-        )
         self.quantize_tier = quantize_tier
         # fused training step (kernels/train_fused.py): selection + bit-exact
         # lookup + EMA statistics in one VMEM pass per token block, so the
@@ -821,9 +821,18 @@ class Codebook(ModeModule):
             # operands (2 MXU passes; exact w.r.t. the bf16 values). Indices
             # may differ from the exact tier near f32-level ties — that is
             # the documented contract of the tier.
-            embed_ind_flat, tier_quantize_flat = jax.vmap(
-                lambda xs, es: quantize_lookup(xs, es, metric, tier='bf16')
-            )(flatten, embed)
+            if code_parallel:
+                # per-shard bf16 tier + cross-shard winner reduction —
+                # bit-identical to the unsharded tier (parallel.shard)
+                embed_ind_flat, tier_quantize_flat = jax.vmap(
+                    lambda xs, es: sharded_quantize_lookup_bf16(
+                        xs, es, self.code_axis, metric
+                    )
+                )(flatten, embed)
+            else:
+                embed_ind_flat, tier_quantize_flat = jax.vmap(
+                    lambda xs, es: quantize_lookup(xs, es, metric, tier='bf16')
+                )(flatten, embed)
             embed_onehot = None
         elif fast_path:
             if code_parallel:

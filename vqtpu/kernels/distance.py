@@ -72,12 +72,22 @@ def nearest_code_xla(
         scores = -cdist_sq(x, embed)
     if not return_best:
         return jnp.argmax(scores, axis=-1).astype(jnp.int32)
-    # ONE variadic reduce for (max, argmax): separate jnp.max + jnp.argmax
-    # calls are two reductions, which breaks XLA's matmul+reduce fusion and
-    # materializes the (n, c) score matrix (measured +80% on the sharded
-    # path at n=1M, c=4096). jnp.argmax itself lowers to exactly this
-    # variadic reduce — we just keep both outputs.
-    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    return argmax_first_with_best(scores)
+
+
+def argmax_first_with_best(scores: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., c) scores -> (argmax idx int32, best score), first-index
+    tie-break, as ONE variadic reduce over the last axis.
+
+    Separate jnp.max + jnp.argmax calls are two reductions, which breaks
+    XLA's matmul+reduce fusion and materializes the (n, c) score matrix
+    (measured +80% on the sharded path at n=1M, c=4096). jnp.argmax itself
+    lowers to exactly this variadic reduce — we just keep both outputs.
+    Selection is non-differentiable (gradients route via STE/rotation at the
+    quantizer layer), and lax.reduce's custom computation has no JVP — the
+    tape is cut here."""
+    axis = scores.ndim - 1
+    iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, axis)
 
     def reducer(a, b):
         av, ai = a
@@ -85,14 +95,11 @@ def nearest_code_xla(
         better = (bv > av) | ((bv == av) & (bi < ai))
         return (jnp.where(better, bv, av), jnp.where(better, bi, ai))
 
-    # selection is non-differentiable (gradients route via STE/rotation at
-    # the quantizer layer), and lax.reduce's custom computation has no JVP —
-    # cut the tape here
     best, idx = jax.lax.reduce(
         (jax.lax.stop_gradient(scores), iota),
         (jnp.float32(-jnp.inf), jnp.int32(2 ** 30)),
         reducer,
-        (1,),
+        (axis,),
     )
     return idx.astype(jnp.int32), best
 

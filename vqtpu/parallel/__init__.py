@@ -11,6 +11,7 @@ from .shard import (
     DataParallelTrainer,
     sharded_nearest_code,
     sharded_gather_codes,
+    sharded_quantize_lookup_bf16,
     local_onehot_from_global,
 )
 from .tp import (

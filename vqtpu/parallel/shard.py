@@ -177,13 +177,21 @@ def sharded_nearest_code(
         x, embed_shard, metric, return_best=True
     )                                                            # (n,), (n,)
 
-    # winner reduction as pure elementwise ops + pmax/pmin/psum — an
-    # all_gather + argmax-over-world + take_along_axis formulation costs
-    # +12.5 ms at n=1M on v5e (XLA's elementwise-gather lowering), this one
-    # ~+0 (benchmarks/tp_selection_tpu.py). Ties: the lowest rank holding
-    # the best score wins, and within a shard argmax picked the lowest
-    # local index — global index order is rank-major, so this matches the
-    # unsharded argmin's first-index tie-break exactly.
+    return _global_winner_index(local_idx, score, axis, c_local)
+
+
+def _global_winner_index(
+    local_idx: jax.Array, score: jax.Array, axis: str, c_local: int
+) -> jax.Array:
+    """Cross-shard winner reduction for row-sharded selection, as pure
+    elementwise ops + pmax/pmin/psum — an all_gather + argmax-over-world +
+    take_along_axis formulation costs +12.5 ms at n=1M on v5e (XLA's
+    elementwise-gather lowering), this one ~+0
+    (benchmarks/tp_selection_tpu.py). Ties: the lowest rank holding the best
+    score wins, and within a shard argmax picked the lowest local index —
+    global index order is rank-major, so this matches the unsharded
+    argmax's first-index tie-break exactly."""
+    rank = jax.lax.axis_index(axis)
     world = jax.lax.axis_size(axis)
     best = jax.lax.pmax(score, axis)                             # (n,)
     is_best = score == best
@@ -192,6 +200,51 @@ def sharded_nearest_code(
     mine = is_best & (rank == win_rank)
     global_idx = jnp.where(mine, local_idx + rank * c_local, 0)
     return jax.lax.psum(global_idx, axis)
+
+
+def sharded_quantize_lookup_bf16(
+    x: jax.Array,
+    embed_shard: jax.Array,
+    axis: str,
+    metric: str = 'euclidean',
+) -> tuple[jax.Array, jax.Array]:
+    """The bf16 serving tier against a row-sharded codebook: 2 MXU passes
+    per shard (bf16 scores with f32 accumulation + the 1-pass local one-hot
+    lookup), winner-reduced over `axis`.
+
+    Bit-identical to the unsharded tier
+    (kernels.distance._quantize_lookup_bf16): per-column scores are
+    shard-placement-invariant (same formulation, same operands), the winner
+    reduction reproduces the first-index tie-break, and the lookup
+    contributes each token's exact bf16 row from the one shard that owns it
+    (one-hot products are exact; the psum adds zeros). Pinned by
+    tests/test_tp.py::test_code_sharded_bf16_tier_matches_unsharded.
+
+    x: (n, d) replicated; embed_shard: (c_local, d) local rows.
+    Returns ((n,) global int32 indices, (n, d) bf16 quantized rows).
+    """
+    from . import collectives
+    from ..kernels.distance import argmax_first_with_best
+
+    c_local = embed_shard.shape[0]
+    xb = x.astype(jnp.bfloat16)
+    eb = embed_shard.astype(jnp.bfloat16)
+    scores = jnp.einsum(
+        'nd,cd->nc', xb, eb, preferred_element_type=jnp.float32
+    )
+    if metric == 'euclidean':
+        scores = scores - 0.5 * (eb.astype(jnp.float32) ** 2).sum(-1)
+    local_idx, score = argmax_first_with_best(scores)
+    global_idx = _global_winner_index(local_idx, score, axis, c_local)
+
+    row0 = jax.lax.axis_index(axis) * c_local
+    onehot = local_onehot_from_global(global_idx, c_local, row0)
+    out = jnp.einsum(
+        'nc,cd->nd', onehot.astype(jnp.bfloat16), eb,
+        preferred_element_type=jnp.float32,
+    )
+    out = collectives.psum_exact(out, axis)
+    return global_idx, out.astype(jnp.bfloat16)
 
 
 import functools as _functools
@@ -261,11 +314,20 @@ def sharded_gather_codes(
     row0 = jax.lax.axis_index(code_axis) * c_local
     flat = indices.reshape(-1)
     onehot = local_onehot_from_global(flat, c_local, row0)
-    out = jnp.einsum(
-        'nc,cd->nd', onehot, embed_shard.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    if embed_shard.dtype == jnp.bfloat16:
+        # bf16 operands are exact under DEFAULT (1 MXU pass with f32
+        # accumulation); HIGHEST would upcast and run ~3x slower — same
+        # rationale as kernels.distance.gather_codes
+        out = jnp.einsum(
+            'nc,cd->nd', onehot.astype(jnp.bfloat16), embed_shard,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum(
+            'nc,cd->nd', onehot, embed_shard.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
     # psum_exact: identity transpose — the plain psum transpose inflates
     # embed/transform gradients by the axis size under check_vma=False
     out = collectives.psum_exact(out, code_axis)
