@@ -783,10 +783,14 @@ def test_2d_mesh_dp_tp_parity_vs_unsharded():
 
 @pytest.mark.parametrize('world', [2, 4, 8])
 @pytest.mark.parametrize('dtype', ['float32', 'bfloat16'])
-def test_sharded_gather_codes_bit_parity(world, dtype):
-    """sharded_gather_codes == gather_codes exactly: the one-hot HIGHEST
-    matmul reproduces rows bit-exactly and the psum only adds zeros, so no
-    tolerance is owed at any world size or dtype."""
+@pytest.mark.parametrize('form', ['take', 'onehot'])
+def test_sharded_gather_codes_bit_parity(world, dtype, form):
+    """sharded_gather_codes == gather_codes exactly, under BOTH
+    formulations: the masked row gather copies rows and zeroes foreign
+    tokens; the one-hot HIGHEST matmul reproduces rows bit-exactly; the
+    psum only adds zeros either way — so no tolerance is owed at any world
+    size, dtype, or formulation (the TPU crossover picks between them by
+    c_local; `_force` pins each on CPU)."""
     from vqtpu.kernels.distance import gather_codes
     from vqtpu.parallel.shard import sharded_gather_codes
 
@@ -800,7 +804,7 @@ def test_sharded_gather_codes_bit_parity(world, dtype):
 
     mesh = Mesh(np.array(jax.devices()[:world]).reshape(world), ('code',))
     out = jax.jit(jax.shard_map(
-        lambda e, i: sharded_gather_codes(e, i, 'code'),
+        lambda e, i: sharded_gather_codes(e, i, 'code', _force=form),
         mesh=mesh, in_specs=(P('code'), P()), out_specs=P(),
         check_vma=False,
     ))(embed, ind)

@@ -290,11 +290,15 @@ def local_onehot_from_global(
     """One-hot of global code indices over THIS shard's row window
     [row0, row0 + c_local): (...,) int -> (..., c_local) f32 with zero rows
     for codes owned by other shards. The building block for row-sharded
-    lookups and EMA statistics."""
-    local = ind - row0
-    mine = (local >= 0) & (local < c_local)
-    onehot = jax.nn.one_hot(jnp.where(mine, local, 0), c_local, dtype=jnp.float32)
-    return onehot * mine[..., None].astype(jnp.float32)
+    lookups and EMA statistics.
+
+    `jax.nn.one_hot` already produces an all-zero row for any out-of-range
+    index (negative or >= c_local), so the window mask IS the one-hot — no
+    separate where/multiply. The r3 masked formulation added two extra
+    elementwise passes over the (n, c) tensor that XLA did not fuse into
+    the consuming matmul (measured +126% on world-1 sharded decode at
+    c=512, benchmarks/decode_tpu.py --sharded)."""
+    return jax.nn.one_hot(ind - row0, c_local, dtype=jnp.float32)
 
 
 def sharded_gather_codes(
@@ -302,27 +306,60 @@ def sharded_gather_codes(
     indices: jax.Array,
     code_axis: str,
     precision=jax.lax.Precision.HIGHEST,
+    _force: str | None = None,
 ) -> jax.Array:
     """Row lookup against a codebook sharded over `code_axis`:
     (c_local, d), global (...,) -> (..., d). Each token's row lives on
-    exactly one shard, which contributes it via a local one-hot matmul
-    (bit-exact at HIGHEST — kernels.distance.gather_codes rationale); the
-    psum over `code_axis` is then a masked broadcast, not a sum of parts."""
+    exactly one shard, which contributes its exact row; the psum over
+    `code_axis` is then a masked broadcast, not a sum of parts.
+
+    Two formulations with the SAME crossover as the unsharded
+    kernels.distance.gather_codes, applied to the LOCAL codebook size:
+
+    - small c_local: local one-hot matmul (bit-exact at HIGHEST; fuses).
+    - large c_local: masked contiguous row gather — clamp the local index,
+      jnp.take the row (flat in c_local, ~60% of the HBM floor), zero it if
+      this shard does not own the code. The r3 one-hot-always formulation
+      was linear in c_local (+787% at c=2048 world=1) and its (n, c)
+      one-hot construction at c=65536 crashed the TPU worker
+      (benchmarks/decode_tpu.py --sharded, round 4).
+
+    `_force` ('take' | 'onehot') pins a formulation for tests — both are
+    bit-exact, so CPU parity tests cover each regardless of the crossover."""
     from . import collectives
 
     c_local = embed_shard.shape[0]
     row0 = jax.lax.axis_index(code_axis) * c_local
     flat = indices.reshape(-1)
-    onehot = local_onehot_from_global(flat, c_local, row0)
+
     if embed_shard.dtype == jnp.bfloat16:
         # bf16 operands are exact under DEFAULT (1 MXU pass with f32
         # accumulation); HIGHEST would upcast and run ~3x slower — same
         # rationale as kernels.distance.gather_codes
+        passes = 1
+    else:
+        passes = 3 if (
+            embed_shard.dtype == jnp.float32
+            and precision == jax.lax.Precision.HIGHEST
+        ) else 1
+    crossover = 512 * 3 // passes
+    use_take = (
+        jax.default_backend() != 'tpu' or c_local > crossover
+    ) if _force is None else (_force == 'take')
+
+    if use_take:
+        local = flat - row0
+        mine = (local >= 0) & (local < c_local)
+        rows = jnp.take(embed_shard, jnp.clip(local, 0, c_local - 1), axis=0)
+        out = rows.astype(jnp.float32) * mine[:, None].astype(jnp.float32)
+    elif embed_shard.dtype == jnp.bfloat16:
+        onehot = local_onehot_from_global(flat, c_local, row0)
         out = jnp.einsum(
             'nc,cd->nd', onehot.astype(jnp.bfloat16), embed_shard,
             preferred_element_type=jnp.float32,
         )
     else:
+        onehot = local_onehot_from_global(flat, c_local, row0)
         out = jnp.einsum(
             'nc,cd->nd', onehot, embed_shard.astype(jnp.float32),
             preferred_element_type=jnp.float32,
