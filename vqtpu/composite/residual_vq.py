@@ -140,7 +140,7 @@ class ResidualVQ(ModeModule):
         beam_size: int | None = None,
         eval_beam_size: int | None = None,
         beam_score_quantizer_weights: list[float] | None = None,
-        beam_score_precision=None,
+        beam_score_precision='deterministic',
         quant_grad_frac: float = 0.0,
         rngs: nnx.Rngs | None = None,
         **vq_kwargs,
@@ -226,10 +226,15 @@ class ResidualVQ(ModeModule):
         self.beam_score_weights = tuple(float(w) for w in beam_score_quantizer_weights)
         # determinism knob (VERDICT r2 #4): HIGHEST forces the beam-score
         # distance matmuls f32-faithful so the on-chip beam ranking
-        # reproduces the CPU/golden ordering (on TPU the default is one bf16
-        # pass, which flips near-ties — ~95% index agreement measured at the
-        # BASELINE beam shape). Cost: the beam candidate-selection matmuls
-        # run ~3x slower; the knob only affects the beam path.
+        # reproduces the CPU/golden ordering (on TPU a plain-precision pass
+        # is one bf16 matmul, which flips near-ties — ~95% index agreement
+        # measured at the BASELINE beam shape). DEFAULT since round 4: the
+        # measured cost is +3.1% of the beam forward (101.8 vs 98.7 ms at
+        # q=8 c=1024 beam=4, 8k tokens, v5e — tools/tpu_r3_logs/
+        # beam_cost.log); pass beam_score_precision=None to trade the
+        # determinism back for that 3%.
+        if beam_score_precision == 'deterministic':
+            beam_score_precision = jax.lax.Precision.HIGHEST
         self.beam_score_precision = beam_score_precision
 
         # QINCo MLPs for layers 2..N
