@@ -47,9 +47,12 @@ def floor_ms(n, c, d):
 
 
 def bench(fn, x, e):
-    # selection returns int32 indices only; wrap so the carry consumes them
+    # selection returns int32 indices only; the harness expects (idx, q)
+    # pairs — pad with a scalar zero (idx.sum() in the carry already
+    # consumes the full selection output, so nothing can be sliced away)
     def wrapped(x, e):
-        return fn(x, e)
+        idx = fn(x, e)
+        return idx, jnp.zeros((1,), jnp.float32)
     return chained_seconds_per_iter(wrapped, x, e, lo=2, hi=10) * 1e3
 
 

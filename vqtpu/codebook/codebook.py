@@ -239,11 +239,17 @@ class Codebook(ModeModule):
         return l2norm(x) if self.use_cosine_sim else x
 
     def _train_fused_active(self) -> bool:
-        """Resolve the train_fused knob. 'auto' is the measured-on-silicon
-        policy: it stays on the XLA composition until
-        benchmarks/train_step_tpu.py shows the fused kernel beating it at a
-        shape envelope — flip this resolution (not call sites) when it
-        does."""
+        """Resolve the train_fused knob. 'auto' == the XLA composition,
+        now a MEASURED dead-end decision (round 4, v5e): the fused kernel
+        compiles only at block_n=512 (Mosaic's 16MB scoped-VMEM limit
+        rejects >=1024) and measures 20.8 ms vs the XLA composition's
+        11.4 ms at the BASELINE train shape (1M x 256, c=512) — Mosaic's
+        small-matmul throughput plus the HIGHEST decomposition loses to
+        XLA's fused scheduling, the same structural result as the r1
+        fully-fused eval kernel (BASELINE.md dead-end table). 'on' remains
+        a tested, bit-exact escape hatch (and the on-chip exactness gate
+        in tools/verify_drive.py keeps it honest) but no measured envelope
+        favors it."""
         if self.train_fused == 'on':
             return True
         return False

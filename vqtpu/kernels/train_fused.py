@@ -19,7 +19,21 @@ stat contributions in VMEM:
 
 `w` is an optional per-token weight column (mask weighting; padded tokens
 get w=0 so they contribute nothing to the statistics while their lookup
-rows are discarded by the caller's slice).
+rows are discarded by the caller's slice). The UNWEIGHTED variant (the
+common case) compiles a kernel with no weight input at all — `weighted`
+IS the one-hot, which drops one (block_n, c) VMEM buffer and the
+lane-padded (block_n, 1) input stream.
+
+Silicon lessons (round 4, v5e — the r3 kernel had only ever run in
+interpret mode):
+- Mosaic requires output block sublanes divisible by 8: the r3 idx packing
+  (block_n//128, 128) is ILLEGAL at block_n=512 (sublane 4). Packed as
+  (block_n//64, 64) instead — dense, and legal for every block_n multiple
+  of 512.
+- Scoped VMEM is a hard 16MB: at block_n=1024 the r3 kernel allocated
+  18.06M (weighted buffer + lane-padded w blocks + (n,c) intermediates).
+  Default block_n is 512 and the weight input only exists when a mask is
+  actually passed.
 
 Exactness contract (asserted on-chip by tools/verify_drive.py):
 - idx matches `nearest_code` tie-breaking (first index).
@@ -45,11 +59,17 @@ from .distance import _round_up, _select_epilogue
 
 
 def _fused_train_kernel(
-    x_ref, e_ref, bias_ref, w_ref,
-    idx_ref, q_ref, bins_ref, esum_ref,
-    bins_acc, esum_acc,
-    *, c_padded: int,
+    x_ref, e_ref, bias_ref, *rest,
+    c_padded: int, has_weights: bool,
 ):
+    if has_weights:
+        (w_ref, idx_ref, q_ref, bins_ref, esum_ref,
+         bins_acc, esum_acc) = rest
+    else:
+        (idx_ref, q_ref, bins_ref, esum_ref,
+         bins_acc, esum_acc) = rest
+        w_ref = None
+
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
@@ -75,7 +95,8 @@ def _fused_train_kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    weighted = onehot * w_ref[:]                              # (bn, c)
+    # the common (unmasked) case skips the extra (bn, c) buffer entirely
+    weighted = onehot if w_ref is None else onehot * w_ref[:]
 
     @pl.when(i == 0)
     def _():
@@ -95,24 +116,38 @@ def _fused_train_kernel(
         esum_ref[:] = esum_acc[:]
 
 
-@functools.partial(jax.jit, static_argnames=('block_n', 'interpret'))
-def _fused_train_pallas(x, embed, bias, w, *, block_n: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=('block_n', 'interpret', 'has_weights')
+)
+def _fused_train_pallas(
+    x, embed, bias, w, *, block_n: int, interpret: bool, has_weights: bool
+):
     n, d = x.shape
     c = embed.shape[0]
-    rows, lane = (block_n // 128, 128) if block_n % 128 == 0 else (1, block_n)
+    # idx packing: dense (block_n//64, 64) i32 tiles — sublane multiple of
+    # 8 for every block_n that is a multiple of 512 (Mosaic rejects the
+    # (block_n//128, 128) layout at block_n=512: sublane 4)
+    rows, lane = (block_n // 64, 64) if block_n % 512 == 0 else (1, block_n)
 
     grid = (n // block_n,)
-    idx, q, bins, esum = pl.pallas_call(
-        functools.partial(_fused_train_kernel, c_padded=c),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [x, embed, bias]
+    if has_weights:
+        in_specs.append(
             pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+                         memory_space=pltpu.VMEM))
+        operands.append(w)
+
+    idx, q, bins, esum = pl.pallas_call(
+        functools.partial(_fused_train_kernel, c_padded=c,
+                          has_weights=has_weights),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((rows, lane), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -140,7 +175,7 @@ def _fused_train_pallas(x, embed, bias, w, *, block_n: int, interpret: bool):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, embed, bias, w)
+    )(*operands)
     return idx.reshape(-1), q, bins.reshape(-1), esum
 
 
@@ -150,7 +185,7 @@ def fused_train_quantize(
     metric: str = 'euclidean',
     weights: jax.Array | None = None,
     *,
-    block_n: int = 1024,
+    block_n: int = 512,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(n, d) tokens, (c, d) codebook -> (idx, quantize, bins, embed_sum).
@@ -165,9 +200,7 @@ def fused_train_quantize(
 
     x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
-    if weights is None:
-        weights = jnp.ones((n,), jnp.float32)
-    weights = weights.astype(jnp.float32)
+    has_weights = weights is not None
 
     if metric == 'cosine':
         bias = jnp.zeros((c,), jnp.float32)
@@ -177,10 +210,17 @@ def fused_train_quantize(
     d_pad = _round_up(d, 128) - d
     c_pad = _round_up(c, 128) - c
     # one uniform block size: pad n up to a block multiple (padded tokens
-    # carry zero weight, so they cannot touch the statistics); tiny inputs
-    # get a single sub-128 tile
+    # land on codebook row 0 with bias-padded scores; the unweighted
+    # variant must therefore only ever see block-aligned n — enforced by
+    # switching any padded call to the weighted variant with a 0/1 mask)
     bn = block_n if n >= 128 else max(_round_up(n, 8), 8)
     n_pad = _round_up(n, bn) - n
+    if n_pad and not has_weights:
+        # padded tokens must not touch the statistics: weight them 0
+        has_weights = True
+        weights = jnp.ones((n,), jnp.float32)
+    if has_weights:
+        weights = weights.astype(jnp.float32)
 
     if d_pad:
         x = jnp.pad(x, ((0, 0), (0, d_pad)))
@@ -193,7 +233,8 @@ def fused_train_quantize(
         bias = jnp.pad(bias, (0, c_pad), constant_values=-3.0e38)
 
     idx, q, bins, esum = _fused_train_pallas(
-        x, embed, bias.reshape(1, -1), weights.reshape(-1, 1),
-        block_n=bn, interpret=interpret,
+        x, embed, bias.reshape(1, -1),
+        None if not has_weights else weights.reshape(-1, 1),
+        block_n=bn, interpret=interpret, has_weights=has_weights,
     )
     return idx[:n], q[:n, :d], bins[:c], esum[:c, :d]
