@@ -474,6 +474,22 @@ def nearest_code(
             bn = 4096 if c_pad * 4096 * 4 <= 8 * 1024 * 1024 else 2048
             backend = 'pallas'
             block_n = bn
+        elif (
+            # composite-scale re-gate (round 4): at n=65k, c=1024, d=128
+            # Pallas bn=1024 beats XLA standalone (0.185 vs 0.254 ms) AND
+            # inside the full composite (GroupedResidualVQ 4.28 -> 3.68 ms,
+            # 65% -> 76% of floor — tools/tpu_r4_logs/grouped_regate.log).
+            # d=256 stays XLA (ResidualVQ q=8 measured 73% forced vs 79%
+            # auto); c=512 at this n is below tunnel timing resolution and
+            # stays XLA. The r2 "n-gate" regression was the BLOCK SIZE
+            # (bn=4096 at composite scale), not the kernel.
+            on_tpu
+            and c_pad == 1024
+            and d_pad <= 128
+            and n_ >= (1 << 16)
+        ):
+            backend = 'pallas'
+            block_n = 1024
         else:
             backend = 'xla'
     if backend == 'xla' or (not on_tpu and not use_interpret):
@@ -496,27 +512,27 @@ def nearest_code(
 
 
 def _auto_tile(n: int, d: int) -> tuple[int, int]:
-    """Blocking for the tiled-codebook kernel (round-4 restructure).
+    """Blocking for the tiled-codebook kernel.
 
-    The r2 shape (block_n=1024, c_tile=1024) re-streamed the WHOLE codebook
-    once per 1024 tokens, and per-tile MXU time (2.7us at d=256) barely
-    covered the tile DMA — measured ~70% of the MXU floor at c=8192-65536.
-    Growing both dims fails Mosaic compile (the (block_n, c_tile) f32 scores
-    buffer is the VMEM hog), but the aspect ratio is free: block_n up
-    (amortizes codebook traffic linearly — 4x fewer re-streams) and c_tile
-    down keeps the scores buffer constant at 8MB while raising the per-tile
-    compute:DMA ratio from ~2:1 to ~8:1.
+    Round-4 sweep verdict (benchmarks/largec_tiled_tpu.py on v5e,
+    c=8192-65536, n=256k — tools/tpu_r4_logs/largec_tiled.log): the
+    inverted-aspect hypothesis (grow block_n, shrink c_tile to cut
+    codebook re-streams) is WRONG on silicon — every narrower c_tile is
+    strictly slower (2048x512 36%, 4096x256 23% of the MXU floor vs
+    2048x1024 at 48-49%); the binding constraint is per-tile epilogue/
+    carry work, which scales with the number of c-tiles, not tile DMA.
+    8192x256 fails Mosaic compile. Best measured blocking: (2048, 1024).
+    XLA's fused matmul+argmax reaches 84-87% at these shapes, so the auto
+    path NEVER routes here (the dead-end is certified in BASELINE.md);
+    this kernel remains only the exact fallback for `backend='pallas'`
+    with a beyond-VMEM codebook.
 
-    Budgets (16MB VMEM, double-buffered x and codebook-tile streams):
-    x block block_n*d*4 <= 2MB; scores block_n*c_tile*4 <= 4MB. This lands
-    on (2048, 512) at d=256 — 2x fewer codebook re-streams than r2 at half
-    the scores buffer; benchmarks/largec_tiled_tpu.py sweeps the more
-    aggressive shapes (4096x256, 8192x256) that this conservative policy
-    leaves on the table pending a successful Mosaic compile on silicon.
+    Budgets (16MB VMEM): x block block_n*d*4 <= 2MB (double-buffered);
+    scores block_n*c_tile*4 <= 8MB.
     """
     d_pad = _round_up(d, 128)
-    block_n = min(4096, max(1024, (2 * 1024 * 1024 // (d_pad * 4)) // 1024 * 1024))
-    c_tile = min(512, max(128, (4 * 1024 * 1024 // (block_n * 4)) // 128 * 128))
+    block_n = min(2048, max(1024, (2 * 1024 * 1024 // (d_pad * 4)) // 1024 * 1024))
+    c_tile = min(1024, max(128, (8 * 1024 * 1024 // (block_n * 4)) // 128 * 128))
     return block_n, c_tile
 
 

@@ -238,11 +238,22 @@ def sharded_quantize_lookup_bf16(
     global_idx = _global_winner_index(local_idx, score, axis, c_local)
 
     row0 = jax.lax.axis_index(axis) * c_local
-    onehot = local_onehot_from_global(global_idx, c_local, row0)
-    out = jnp.einsum(
-        'nc,cd->nd', onehot.astype(jnp.bfloat16), eb,
-        preferred_element_type=jnp.float32,
-    )
+    # lookup: same crossover as sharded_gather_codes/gather_codes — bf16
+    # one-hot is 1 MXU pass LINEAR in c_local, the masked row gather is
+    # ~flat; the one-hot-always r3 formulation cost +44% at c=4096 world=1
+    # (tools/tpu_r4_logs/tp_bf16_tier.log). Both are exact in bf16.
+    if jax.default_backend() == 'tpu' and c_local <= 512 * 3:
+        onehot = local_onehot_from_global(global_idx, c_local, row0)
+        out = jnp.einsum(
+            'nc,cd->nd', onehot.astype(jnp.bfloat16), eb,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        local = global_idx - row0
+        safe = jnp.where((local >= 0) & (local < c_local), local, c_local)
+        padded = jnp.concatenate(
+            [eb, jnp.zeros((1, eb.shape[1]), eb.dtype)], axis=0)
+        out = jnp.take(padded, safe, axis=0)   # bf16 rows; foreign -> 0
     out = collectives.psum_exact(out, axis)
     return global_idx, out.astype(jnp.bfloat16)
 
@@ -348,10 +359,16 @@ def sharded_gather_codes(
     ) if _force is None else (_force == 'take')
 
     if use_take:
+        # route foreign tokens to an appended all-zero row instead of
+        # mask-multiplying the gathered (n, d) tensor — one fewer full
+        # elementwise pass, and no upcast (zeros are exact in any dtype)
         local = flat - row0
         mine = (local >= 0) & (local < c_local)
-        rows = jnp.take(embed_shard, jnp.clip(local, 0, c_local - 1), axis=0)
-        out = rows.astype(jnp.float32) * mine[:, None].astype(jnp.float32)
+        safe = jnp.where(mine, local, c_local)
+        padded = jnp.concatenate(
+            [embed_shard, jnp.zeros((1,) + embed_shard.shape[1:],
+                                    embed_shard.dtype)], axis=0)
+        out = jnp.take(padded, safe, axis=0)
     elif embed_shard.dtype == jnp.bfloat16:
         onehot = local_onehot_from_global(flat, c_local, row0)
         out = jnp.einsum(
