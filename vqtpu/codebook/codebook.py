@@ -45,6 +45,19 @@ from ..core.module import ModeModule
 sg = jax.lax.stop_gradient
 
 
+def _vmap_h(fn):
+    """vmap over the leading head dim, but RESHAPE when it is 1: a size-1
+    batched matmul+argmax/gather lowers ~2x slower than the unbatched form
+    on v5e (benchmarks/rvq_overhead_tpu.py bisect, round 4) — and h=1 is
+    the overwhelmingly common case (every non-multihead quantizer)."""
+    def run(*args):
+        if all(a.shape[0] == 1 for a in args):
+            out = fn(*(a[0] for a in args))
+            return jax.tree.map(lambda o: o[None], out)
+        return jax.vmap(fn)(*args)
+    return run
+
+
 def _expand_mask(mask: jax.Array, num_heads: int, num_tokens: int) -> jax.Array:
     """(b, n) -> (h, N) with N = b * inner * n, tiling over any head factor
     folded into the token axis (reference repeat 'b n -> c (b h n)',
@@ -830,13 +843,13 @@ class Codebook(ModeModule):
             if code_parallel:
                 # per-shard bf16 tier + cross-shard winner reduction —
                 # bit-identical to the unsharded tier (parallel.shard)
-                embed_ind_flat, tier_quantize_flat = jax.vmap(
+                embed_ind_flat, tier_quantize_flat = _vmap_h(
                     lambda xs, es: sharded_quantize_lookup_bf16(
                         xs, es, self.code_axis, metric
                     )
                 )(flatten, embed)
             else:
-                embed_ind_flat, tier_quantize_flat = jax.vmap(
+                embed_ind_flat, tier_quantize_flat = _vmap_h(
                     lambda xs, es: quantize_lookup(xs, es, metric, tier='bf16')
                 )(flatten, embed)
             embed_onehot = None
@@ -844,7 +857,7 @@ class Codebook(ModeModule):
             if code_parallel:
                 # local fused selection + cross-shard (score, index) argmax
                 # reduction over the code axis (parallel.shard)
-                embed_ind_flat = jax.vmap(
+                embed_ind_flat = _vmap_h(
                     lambda xs, es: sharded_nearest_code(
                         xs, es, self.code_axis, metric
                     )
@@ -1006,13 +1019,13 @@ class Codebook(ModeModule):
             # one-hot-matmul lookup: bit-exact at HIGHEST precision and far
             # faster than XLA's gather lowering on TPU (kernels/distance.py)
             if code_parallel:
-                quantize_flat = jax.vmap(
+                quantize_flat = _vmap_h(
                     lambda e, i: sharded_gather_codes(e, i, self.code_axis)
                 )(
                     embed, embed_ind_flat.reshape(h, -1)
                 ).reshape(*embed_ind_flat.shape, embed.shape[-1])
             else:
-                quantize_flat = jax.vmap(gather_codes)(
+                quantize_flat = _vmap_h(gather_codes)(
                     embed, embed_ind_flat.reshape(h, -1)
                 ).reshape(*embed_ind_flat.shape, embed.shape[-1])
 

@@ -441,6 +441,12 @@ def nearest_code(
             nearest_code, metric=metric, backend=backend, block_n=block_n,
             interpret=interpret,
         )
+        if x.shape[0] == 1 and embed.shape[0] == 1:
+            # single-headed: RESHAPE, don't vmap — a size-1 batched
+            # matmul+argmax lowers ~2x slower than the 2D form on v5e
+            # (benchmarks/rvq_overhead_tpu.py bisect, round 4: 0.61 vs
+            # 0.30 ms at 65k x 256, c=1024)
+            return fn(x[0], embed[0])[None]
         return jax.vmap(fn)(x, embed)
 
     on_tpu = jax.default_backend() == 'tpu'
@@ -606,7 +612,12 @@ def quantize_lookup(
     assert tier == 'exact', tier
     idx = nearest_code(x, embed, metric, backend=backend)
     if embed.ndim > 2:
-        quantized = jax.vmap(gather_codes)(embed, idx)
+        if embed.shape[0] == 1:
+            # single-headed: reshape, don't vmap (size-1 batched gather/
+            # matmul lowers slower — see nearest_code)
+            quantized = gather_codes(embed[0], idx[0])[None]
+        else:
+            quantized = jax.vmap(gather_codes)(embed, idx)
     else:
         quantized = gather_codes(embed, idx)
     return idx, quantized
@@ -616,6 +627,9 @@ def _quantize_lookup_bf16(
     x: jax.Array, embed: jax.Array, metric: str = 'euclidean'
 ) -> tuple[jax.Array, jax.Array]:
     if x.ndim > 2:
+        if x.shape[0] == 1 and embed.shape[0] == 1:
+            i, q = _quantize_lookup_bf16(x[0], embed[0], metric)
+            return i[None], q[None]
         return jax.vmap(
             functools.partial(_quantize_lookup_bf16, metric=metric)
         )(x, embed)
