@@ -20,4 +20,8 @@ from .tp import (
     TensorParallelTrainer,
     tp_apply,
 )
+from .group import (
+    group_parallel_forward,
+    group_parallel_output_from_indices,
+)
 from .multihost import init_multihost, is_multiprocess, global_batch
