@@ -210,3 +210,54 @@ def test_lfq_large_codebook_auto_chunks():
     aux, g = step(x)
     assert jnp.isfinite(aux) and jnp.isfinite(g).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+@pytest.mark.parametrize('spherical', (False, True))
+def test_lfq_fused_entropy_matches_streamed(spherical):
+    """The fused Pallas entropy sweeps (interpret mode on CPU) must match
+    the chunked XLA path: aux loss and gradients to float-accumulation
+    tolerance. (On-chip: 1.9x fwd / 1.5x train at K=2^18, BASELINE.md.)"""
+    kw = dict(codebook_size=2 ** 10, dim=10, entropy_loss_weight=0.1,
+              diversity_gamma=1.0, spherical=spherical,
+              codebook_scale=0.5 if not spherical else 1.0,
+              entropy_chunk_size=2 ** 8)
+    streamed = LFQ(**kw, entropy_fused='off', rngs=nnx.Rngs(3))
+    fused = LFQ(**kw, entropy_fused='on', rngs=nnx.Rngs(3))
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 20, 10))
+    mask = jnp.array([[True] * 13 + [False] * 7, [True] * 20])
+
+    def aux_of(m, it):
+        def f(v):
+            _, _, aux = m(v, mask=mask, inv_temperature=it)
+            return aux
+        return f
+
+    # values at the default temperature (100): exact agreement
+    a_s = aux_of(streamed, 100.0)(x)
+    a_f = aux_of(fused, 100.0)(x)
+    np.testing.assert_allclose(float(a_f), float(a_s), rtol=1e-4)
+
+    # gradients at inv_temperature=1: the softmax VJP multiplies every
+    # accumulation-order ulp by 2*inv_temperature, so the default temp
+    # amplifies f32 noise to ~1e-3; at 1.0 the comparison is tight
+    a_s, g_s = jax.value_and_grad(aux_of(streamed, 1.0))(x)
+    a_f, g_f = jax.value_and_grad(aux_of(fused, 1.0))(x)
+    np.testing.assert_allclose(float(a_f), float(a_s), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_s),
+        atol=2e-5 * float(jnp.abs(g_s).max()),
+    )
+
+
+def test_lfq_fused_entropy_residual_scale():
+    """codebook_scale != 1 (ResidualLFQ layers use 2^-q): the in-kernel
+    generated codes must carry the right magnitude."""
+    kw = dict(codebook_size=2 ** 8, dim=8, codebook_scale=0.25,
+              entropy_loss_weight=0.05, entropy_chunk_size=2 ** 6)
+    streamed = LFQ(**kw, entropy_fused='off', rngs=nnx.Rngs(0))
+    fused = LFQ(**kw, entropy_fused='on', rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 8)) * 0.25
+    _, _, a_s = streamed(x)
+    _, _, a_f = fused(x)
+    np.testing.assert_allclose(float(a_f), float(a_s), rtol=1e-4)
