@@ -140,6 +140,7 @@ def group_parallel_forward(
     indices=None,
     mask: jax.Array | None = None,
     return_all_codes: bool = False,
+    update_state: bool = True,
     **fkwargs,
 ):
     """Run a Grouped composite forward with groups sharded over `group_axis`.
@@ -289,7 +290,10 @@ def group_parallel_forward(
         args.append(mask)
 
     stacked_out, new_stacked = mapped(stacked, *args)
-    _writeback(members, new_stacked, stacked)
+    if update_state:
+        # (skip for pure-eval serving loops, or when tracing this call
+        # inside an outer jit — writing tracers into module state leaks)
+        _writeback(members, new_stacked, stacked)
 
     if return_ce_loss:
         quantized_g, ce_g = stacked_out
