@@ -1,5 +1,6 @@
 """Regenerate docs/API.md from source: python docs/gen_api.py > docs/API.md"""
 import inspect
+import re
 import sys
 
 import jax
@@ -11,7 +12,8 @@ import vqtpu
 from vqtpu import utils as vutils
 from vqtpu.core import metrics
 from vqtpu.kernels import distance
-from vqtpu.parallel import collectives, multihost, shard, sharded_vq, tp
+from vqtpu.kernels import lfq_entropy
+from vqtpu.parallel import collectives, group, multihost, shard, sharded_vq, tp
 
 print('# vqtpu API reference\n')
 print('Generated from source (`python docs/gen_api.py > docs/API.md`). One')
@@ -44,6 +46,7 @@ def emit(title, objs):
                 sig = '(...)'
             kind = 'def'
         print(f'### `{name}`\n')
+        sig = re.sub(r' at 0x[0-9a-f]+', ' at 0x...', str(sig))
         print(f'```python\n{kind} {name}{sig}\n```\n')
         doc = describe(obj)
         if doc:
@@ -77,10 +80,14 @@ emit('Distributed (vqtpu.parallel)', [
     ('init_sharded_codebook', sharded_vq.init_sharded_codebook),
     ('psum', collectives.psum),
     ('all_gather', collectives.all_gather),
+    ('group_parallel_forward', group.group_parallel_forward),
+    ('group_parallel_output_from_indices',
+     group.group_parallel_output_from_indices),
 ])
 emit('Kernels (vqtpu.kernels)', [
     ('nearest_code', distance.nearest_code),
     ('nearest_code_xla', distance.nearest_code_xla),
     ('gather_codes', distance.gather_codes),
     ('quantize_lookup', distance.quantize_lookup),
+    ('lfq_entropy_stats_fused', lfq_entropy.lfq_entropy_stats_fused),
 ])

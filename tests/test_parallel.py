@@ -497,3 +497,33 @@ def test_train_fused_dp_replicas_stay_identical():
     np.testing.assert_allclose(
         np.asarray(tp._codebook.embed[...]),
         np.asarray(ref._codebook.embed[...]), atol=2e-6)
+
+
+def test_lfq_fused_entropy_composes_with_data_sharding():
+    """The fused Pallas entropy sweeps run inside shard_map (interpret
+    mode): sharded loss == single-device loss on the same global batch,
+    same as the streamed path."""
+    mesh = make_mesh(('data',))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 8))
+
+    kw = dict(codebook_size=256, dim=8, entropy_chunk_size=64)
+    lfq_single = LFQ(**kw, entropy_fused='on', rngs=nnx.Rngs(0))
+    _, _, loss_single = lfq_single(x)
+
+    lfq_sharded = LFQ(**kw, entropy_fused='on', sync_axis='data',
+                      rngs=nnx.Rngs(0))
+    graphdef, state = nnx.split(lfq_sharded)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+        _, _, loss = m(batch)
+        return jax.lax.pmean(loss, 'data')
+
+    step = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P('data')), out_specs=P(),
+        check_vma=False,
+    ))
+    loss_sharded = step(state, x)
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=1e-5
+    )
