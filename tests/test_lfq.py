@@ -261,3 +261,16 @@ def test_lfq_fused_entropy_residual_scale():
     _, _, a_s = streamed(x)
     _, _, a_f = fused(x)
     np.testing.assert_allclose(float(a_f), float(a_s), rtol=1e-4)
+
+
+def test_lfq_fused_entropy_multi_codebook():
+    """num_codebooks > 1: the fused path runs one sweep per codebook head
+    and must match the streamed statistics."""
+    kw = dict(codebook_size=2 ** 8, dim=16, num_codebooks=2,
+              entropy_loss_weight=0.1, entropy_chunk_size=2 ** 6)
+    streamed = LFQ(**kw, entropy_fused='off', rngs=nnx.Rngs(0))
+    fused = LFQ(**kw, entropy_fused='on', rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 12, 16))
+    _, _, a_s = streamed(x)
+    _, _, a_f = fused(x)
+    np.testing.assert_allclose(float(a_f), float(a_s), rtol=1e-4)

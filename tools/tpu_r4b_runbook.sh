@@ -21,6 +21,9 @@ run lfq_entropy_final python benchmarks/lfq_entropy_tpu.py
 run lfq_entropy_bk4096 python benchmarks/lfq_entropy_tpu.py --block_k 4096
 run lfq_entropy_bn1024 python benchmarks/lfq_entropy_tpu.py --block_n 1024
 
+# 2b. scale smoke: K = 2^20 (the chunked row's upper range)
+run lfq_entropy_2e20 python benchmarks/lfq_entropy_tpu.py --dim 20 --n 4096
+
 # 3. group-parallel world-1 overhead at the composite shape
 run group_world1 python benchmarks/group_parallel_tpu.py
 

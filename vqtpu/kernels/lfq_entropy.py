@@ -299,6 +299,11 @@ def lfq_entropy_stats_fused(x, w, *, k, v, inv_temp, eps=1e-5,
     `x` must be (N, d) f32 with N a multiple of `block_n` (pad rows with
     w=0). Differentiable in `x` and `w` via the fused backward sweeps.
     """
+    n, d = x.shape
+    assert n % block_n == 0, (n, block_n)
+    assert k % block_k == 0, (k, block_k)
+    assert k == 1 << d, (k, d)
+    assert w.shape == (n,), w.shape
     if interpret is None:
         interpret = _interpret_default()
     return _stats_vjp(x, w, k, v, inv_temp, eps, block_n, block_k,

@@ -309,11 +309,11 @@ class LFQ(ModeModule):
 
     def _entropy_fused_active(self, flat: jax.Array, chunk) -> bool:
         """Route the entropy statistics through the fused Pallas sweeps
-        (kernels/lfq_entropy.py). 'auto' = TPU backend, single codebook,
-        and a chunked-regime size (the fused sweeps exist to avoid the
-        (N, K) HBM stream — below ~2^16 codes XLA's dense softmax is
-        already fine)."""
-        if self.entropy_fused == 'off' or flat.shape[1] != 1:
+        (kernels/lfq_entropy.py). 'auto' = TPU backend and a
+        chunked-regime size (the fused sweeps exist to avoid the (N, K)
+        HBM stream — below ~2^16 codes XLA's dense softmax is already
+        fine). Multi-codebook runs one sweep per codebook."""
+        if self.entropy_fused == 'off':
             return False
         if self.entropy_fused == 'on':
             return True
@@ -338,26 +338,27 @@ class LFQ(ModeModule):
             code_magnitude, lfq_entropy_stats_fused,
         )
 
-        x2d = flat[:, 0, :]
-        n = x2d.shape[0]
+        n, c = flat.shape[0], flat.shape[1]
         block_n = 512 if n >= 512 else 8
         n_pad = -(-n // block_n) * block_n
         if n_pad != n:
-            x2d = jnp.pad(x2d, ((0, n_pad - n), (0, 0)))
-            w_pad = jnp.pad(weights, (0, n_pad - n))
-        else:
-            w_pad = weights
+            flat = jnp.pad(flat, ((0, n_pad - n), (0, 0), (0, 0)))
+            weights = jnp.pad(weights, (0, n_pad - n))
         v = code_magnitude(
             self.codebook_dim, float(self.codebook_scale), self.spherical
         )
         block_k = min(self.codebook_size, 2048)
-        ent, avgp = lfq_entropy_stats_fused(
-            x2d, w_pad, k=self.codebook_size, v=v,
-            inv_temp=float(inv_temperature), block_n=block_n,
-            block_k=block_k,
-        )
-        ent_sum = (ent * w_pad).sum()
-        return ent_sum, avgp.reshape(1, -1)
+        ent_sum = jnp.float32(0.0)
+        avg_rows = []
+        for ci in range(c):                  # one sweep per codebook head
+            ent, avgp = lfq_entropy_stats_fused(
+                flat[:, ci, :], weights, k=self.codebook_size, v=v,
+                inv_temp=float(inv_temperature), block_n=block_n,
+                block_k=block_k,
+            )
+            ent_sum = ent_sum + (ent * weights).sum()
+            avg_rows.append(avgp)
+        return ent_sum, jnp.stack(avg_rows)
 
     def _chunk_codes(self, start: jax.Array, size: int) -> jax.Array:
         """Code vectors for implicit-codebook rows [start, start+size) —
