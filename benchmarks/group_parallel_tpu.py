@@ -13,7 +13,6 @@ import sys
 sys.path.insert(0, '/root/repo')
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 from jax.sharding import Mesh
