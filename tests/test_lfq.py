@@ -274,3 +274,21 @@ def test_lfq_fused_entropy_multi_codebook():
     _, _, a_s = streamed(x)
     _, _, a_f = fused(x)
     np.testing.assert_allclose(float(a_f), float(a_s), rtol=1e-4)
+
+
+def test_residual_lfq_fused_entropy_passthrough():
+    """entropy_fused rides ResidualLFQ's **kwargs to every layer (each
+    with its own codebook_scale = 2^-q in-kernel magnitude) and matches
+    the streamed composite end-to-end."""
+    from vqtpu.composite import ResidualLFQ
+    kw = dict(dim=8, codebook_size=2 ** 8, num_quantizers=3,
+              entropy_loss_weight=0.1, entropy_chunk_size=2 ** 6)
+    streamed = ResidualLFQ(**kw, entropy_fused='off', rngs=nnx.Rngs(0))
+    fused = ResidualLFQ(**kw, entropy_fused='on', rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 8))
+    q_s, ind_s, loss_s = streamed(x)
+    q_f, ind_f, loss_f = fused(x)
+    assert (ind_s == ind_f).all()
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_s), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loss_f), np.asarray(loss_s), rtol=1e-4)
