@@ -37,6 +37,28 @@ class TestLatentQuantize:
         assert feats.shape == quantized.shape
         assert (quantized == quantizer.indices_to_codes(indices)).all()
 
+    def test_quantize_and_project_matches_forward(self):
+        # the reference helper (latent_quantization.py:211-224) operates on
+        # post-project_in tokens; its (codes, out, indices) must agree with
+        # the eval forward path end-to-end.
+        quantizer = self.make()
+        quantizer.eval()
+        feats = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8, 8))
+        quantized, indices, _ = quantizer(feats)
+
+        z = jnp.moveaxis(feats, 1, -1)
+        ps = z.shape
+        z = z.reshape(z.shape[0], -1, quantizer.dim)
+        if quantizer.project_in is not None:
+            z = quantizer.project_in(z)
+        z = z.reshape(*z.shape[:-1], quantizer.num_codebooks,
+                      quantizer.codebook_dim)
+
+        codes, out, idx = quantizer.quantize_and_project(z, True, ps)
+        assert codes.shape == (2, 64, quantizer.codebook_dim)
+        assert (out == quantized).all()
+        assert (idx == indices).all()
+
     def test_frozen_values(self):
         quantizer = self.make(optimize_values=False)
         feats = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 32, 32))

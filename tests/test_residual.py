@@ -185,6 +185,42 @@ def test_beam_search_smoke_with_dropout():
     assert loss.shape == (4,)
 
 
+def test_beam_approx_topk_matches_exact():
+    """`approx_topk=True` swaps the beam's per-layer candidate top-k
+    (reference residual_vq.py:529-562 prune semantics) for
+    `lax.approx_max_k`. At small codebooks the approximate reduction
+    degenerates to the exact one (and the CPU lowering is exact), so the
+    full beam output — indices, quantized, losses — must match the exact
+    path bit-for-bit. This is the ranking-parity oracle; the measured TPU
+    cost row lives in benchmarks/composites_tpu.py / BASELINE.md."""
+    kw = dict(dim=16, num_quantizers=4, codebook_size=64, beam_size=4)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 32, 16))
+    exact = ResidualVQ(**kw, rngs=nnx.Rngs(0)).eval()
+    approx = ResidualVQ(**kw, approx_topk=True, rngs=nnx.Rngs(0)).eval()
+    q1, i1, l1 = exact(x)
+    q2, i2, l2 = approx(x)
+    assert (i1 == i2).all()
+    assert (q1 == q2).all()
+    assert (l1 == l2).all()
+
+
+def test_beam_approx_topk_contract_wide_codebook():
+    """At wide codebooks (where the approximation can actually bite) the
+    contract is: valid in-range indices, decode round-trip, and finite
+    training losses + EMA state."""
+    rvq = ResidualVQ(dim=32, num_quantizers=3, codebook_size=1024,
+                     beam_size=4, approx_topk=True, rngs=nnx.Rngs(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32))
+    quantized, indices, loss = rvq(x)          # training: post-hoc EMA path
+    assert jnp.isfinite(loss).all()
+    assert (indices >= 0).all() and (indices < 1024).all()
+    rvq.eval()
+    quantized, indices, _ = rvq(x)
+    assert jnp.allclose(
+        rvq.get_output_from_indices(indices), quantized, atol=1e-5
+    )
+
+
 def test_beam_search_improves_reconstruction():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16))
     ref = ResidualVQ(dim=16, num_quantizers=4, codebook_size=32, rngs=nnx.Rngs(3)).eval()

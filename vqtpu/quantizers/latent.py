@@ -163,6 +163,29 @@ class LatentQuantize(ModeModule):
             return quantize
         return z + sg(quantize - z)
 
+    def quantize_and_project(self, z: jax.Array, is_img_or_video=None, ps=None):
+        """Quantize already-projected tokens and project back out.
+
+        Mirror of the reference helper (latent_quantization.py:211-224):
+        `z` is the post-`project_in` token tensor (b, n, c, d); `ps` is the
+        packed original shape ((b, *spatial, dim) channel-last — our
+        analogue of the reference's einops pack spec); `is_img_or_video`
+        is accepted and unused, exactly as upstream. Returns
+        `(codes, out, indices)` with `out` restored to channel-first layout
+        and `indices` squeezed unless `keep_num_codebooks_dim`.
+        """
+        codes = self.quantize(z)
+        indices = self.codes_to_indices(codes)
+        codes = codes.reshape(*codes.shape[:-2], -1)
+        out = self.project_out(codes) if self.project_out is not None else codes
+        if ps is not None:
+            out = out.reshape(ps)
+            indices = indices.reshape(*ps[:-1], self.num_codebooks)
+        out = jnp.moveaxis(out, -1, 1)
+        if not self.keep_num_codebooks_dim:
+            indices = indices[..., 0]
+        return codes, out, indices
+
     # -- losses --------------------------------------------------------------
 
     @staticmethod
