@@ -360,6 +360,69 @@ def test_learnable_codebook_gradient_parity():
                                    err_msg=str(k))
 
 
+@pytest.mark.parametrize('active_only', (False, True))
+def test_orthogonal_reg_code_sharded_parity(active_only):
+    """Orthogonal regularization over row-sharded codebooks: the sharded
+    loss runs through the psum'd (d, d) gram (||N^T N||_F^2 identity) and
+    must match the unsharded c x c cosine formulation — loss value AND
+    codebook gradients (reference loss:
+    vector_quantize_pytorch.py:1331-1348)."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (6, 9, 32))
+    kw = dict(dim=32, codebook_size=64, learnable_codebook=True,
+              ema_update=False, rotation_trick=False,
+              commitment_weight=0.0, orthogonal_reg_weight=1.0,
+              orthogonal_reg_active_codes_only=active_only)
+
+    ref = VectorQuantize(rngs=nnx.Rngs(0), **kw)
+
+    def ref_loss(model):
+        q, ind, loss = model(x)
+        return loss + (q ** 2).mean()
+
+    ref_val, ref_grads = nnx.value_and_grad(ref_loss)(ref)
+
+    mesh = _code_mesh()
+    tp = VectorQuantize(code_axis='code', rngs=nnx.Rngs(0), **kw)
+    graphdef, state = nnx.split(tp)
+    specs = codebook_pspecs(state, tp)
+
+    def body(state, batch):
+        m = nnx.merge(graphdef, state)
+
+        def loss_fn(model):
+            q, ind, loss = model(batch)
+            return loss + (q ** 2).mean()
+
+        return nnx.value_and_grad(loss_fn)(m)
+
+    grad_specs = codebook_pspecs(
+        jax.tree.map(lambda s: s, nnx.state(tp, nnx.Param)), tp)
+    val, grads = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, P()),
+        out_specs=(P(), grad_specs), check_vma=False,
+    ))(state, x)
+
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                               rtol=1e-5, atol=1e-6)
+    got = {tuple(p): np.asarray(v) for p, v in
+           jax.tree_util.tree_flatten_with_path(grads)[0]}
+    want = {tuple(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0]}
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=2e-5,
+                                   err_msg=str(k))
+
+
+def test_orthogonal_reg_max_codes_excluded_with_code_axis():
+    # the (d, d)-gram formulation makes the memory-relief knob unnecessary;
+    # random global row subsetting of sharded rows stays excluded
+    with pytest.raises(AssertionError):
+        VectorQuantize(dim=32, codebook_size=64, code_axis='code',
+                       orthogonal_reg_weight=1.0,
+                       orthogonal_reg_max_codes=16, rngs=nnx.Rngs(0))
+
+
 def test_qinco_code_sharded_matches_unsharded():
     """Implicit neural codebooks (QINCo) on row-sharded state: the per-token
     transformed codebook shards with the rows (a memory win), distances

@@ -241,13 +241,22 @@ class VectorQuantize(ModeModule):
         self.sync_axis = sync_axis
         self.use_cosine_sim = use_cosine_sim
 
-        # tensor-parallel codebook rows (see Codebook.code_axis). Losses that
-        # need the c x c code gram would require an all_gather of the whole
-        # codebook — exactly what sharding exists to avoid — so they are
-        # mutually exclusive.
-        assert not (code_axis is not None and orthogonal_reg_weight > 0.0), (
-            'orthogonal regularization computes the full codebook gram and '
-            'is not supported with row-sharded (code_axis) codebooks'
+        # tensor-parallel codebook rows (see Codebook.code_axis).
+        # Orthogonal regularization IS supported with row-sharded codebooks:
+        # sum_ij (n_i . n_j)^2 == ||N^T N||_F^2, so the loss reduces to the
+        # (d, d) gram — a psum of shard-local partials, never materializing
+        # the c x c cosine matrix (see _orthogonal_reg_loss). The max_codes
+        # memory-relief knob is unnecessary there (the gram is O(d^2)
+        # regardless of c) and its random global row subset would require a
+        # cross-shard gather, so it stays excluded.
+        assert not (
+            code_axis is not None
+            and orthogonal_reg_weight > 0.0
+            and orthogonal_reg_max_codes is not None
+        ), (
+            'orthogonal_reg_max_codes is not supported with row-sharded '
+            '(code_axis) codebooks: the sharded loss runs through the (d, d) '
+            'gram and needs no code subsampling'
         )
         self.code_axis = code_axis
 
@@ -579,6 +588,9 @@ class VectorQuantize(ModeModule):
         codebook = self._codebook.embed[...]                    # (h, c, d)
         h, c, d = codebook.shape
 
+        if self._codebook._code_parallel():
+            return self._orthogonal_reg_loss_sharded(codebook, embed_ind)
+
         active_mask = None
         if self.orthogonal_reg_active_codes_only:
             assert not (self.heads > 1 and self.separate_codebook_per_head), (
@@ -614,6 +626,52 @@ class VectorQuantize(ModeModule):
         n_active = jnp.maximum(active_mask.sum().astype(jnp.float32), 1.0)
         h_dim = codebook.shape[0]
         return (cosine_sim ** 2).sum() / (h_dim * n_active ** 2) - (1.0 / n_active)
+
+    def _orthogonal_reg_loss_sharded(
+        self, codebook: jax.Array, embed_ind: jax.Array
+    ) -> jax.Array:
+        """Orthogonal regularization over a row-sharded codebook.
+
+        Eq (2) of https://arxiv.org/abs/2112.00384 (reference
+        vector_quantize_pytorch.py:1331-1348) needs sum_ij (n_i . n_j)^2 over
+        the GLOBAL codebook. That sum is tr((N^T N)^2) = ||N^T N||_F^2, and
+        the (d, d) gram N^T N is a plain sum over code rows — so each shard
+        contributes its local partial gram and one psum over `code_axis`
+        yields the global gram. O(h d^2) collective, no c x c matrix, no
+        codebook all_gather. `psum_exact` (replicated-cotangent contract)
+        routes the loss gradient back to each shard's own rows only.
+        """
+        from ..core.utils import l2norm
+
+        axis = self.code_axis
+        h, c_local, d = codebook.shape
+        c_global = c_local * collectives.axis_size(axis)
+
+        normed = l2norm(codebook)                               # (h, cl, d)
+
+        if self.orthogonal_reg_active_codes_only:
+            assert not (self.heads > 1 and self.separate_codebook_per_head), (
+                'orthogonal regularization for only active codes not '
+                'compatible with multi-headed with separate codebooks yet'
+            )
+            # embed_ind holds GLOBAL indices (replicated over code_axis):
+            # every shard builds the same global mask and slices its rows
+            global_mask = (
+                jnp.zeros((c_global,), bool).at[embed_ind.reshape(-1)].set(True)
+            )
+            row0 = collectives.axis_index(axis) * c_local
+            local_mask = jax.lax.dynamic_slice_in_dim(global_mask, row0, c_local)
+            normed = normed * local_mask[None, :, None]
+            n = jnp.maximum(global_mask.sum().astype(jnp.float32), 1.0)
+        else:
+            n = jnp.float32(c_global)
+
+        gram_partial = jnp.einsum(
+            'hcd,hce->hde', normed, normed,
+            preferred_element_type=jnp.float32,
+        )
+        gram = collectives.psum_exact(gram_partial, axis)       # (h, d, d)
+        return (gram ** 2).sum() / (h * n ** 2) - (1.0 / n)
 
     # -- forward --------------------------------------------------------------------
 
