@@ -68,6 +68,43 @@ def test_two_process_dp_bit_identical_codebooks():
                                atol=1e-5)
 
 
+def test_two_process_group_axis():
+    """Group-axis (EP-style) GroupedResidualVQ with the group axis crossing
+    the PROCESS boundary: train losses and a post-training eval probe must
+    be bit-identical across the two processes and match the identical
+    single-process job (8 local devices)."""
+    port = _free_port()
+    procs = [_run_child(i, 2, port, mode='group') for i in range(2)]
+    results = [_parse(p) for p in procs]
+
+    assert results[0]['losses'] == results[1]['losses'], 'losses diverged'
+    assert results[0]['probe'] == results[1]['probe'], 'probes diverged'
+
+    single = _parse(_run_child(0, 1, port, mode='group'))
+    np.testing.assert_allclose(single['losses'], results[0]['losses'],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(single['probe'][0], results[0]['probe'][0],
+                               rtol=1e-5, atol=1e-4)
+    # indices checksum: exact
+    assert single['probe'][1] == results[0]['probe'][1]
+
+
+def test_two_process_lfq_fused_entropy():
+    """LFQ's fused Pallas entropy (interpret mode on CPU) inside the DP
+    train step across a process boundary: the differentiable avg_prob psum
+    must produce identical losses on both processes and match the
+    single-process run of the same global job."""
+    port = _free_port()
+    procs = [_run_child(i, 2, port, mode='lfq') for i in range(2)]
+    results = [_parse(p) for p in procs]
+
+    assert results[0]['losses'] == results[1]['losses'], 'losses diverged'
+
+    single = _parse(_run_child(0, 1, port, mode='lfq'))
+    np.testing.assert_allclose(single['losses'], results[0]['losses'],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_two_process_2d_tp_mesh():
     """The full tensor-parallel path ACROSS a process boundary: a 2D
     (data=2 processes, code=4 local devices) mesh trains the code_axis
