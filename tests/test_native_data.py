@@ -114,3 +114,58 @@ def test_prefetch_loader_ring(tmp_path):
     loader.close()
     loader2.close()
     ds.close()
+
+
+def test_import_fashion_mnist_hand_carry(tmp_path, lib):
+    """The offline bring-your-own-data path (tools/import_fashion_mnist.py):
+    every accepted hand-carry format — .npy (uint8 / [0,1] float / [-1,1]
+    float), .npz, raw IDX, gzipped IDX, and a torchvision-style raw dir —
+    must import into the native loader's location and feed image_batches
+    with the real rows (reference data contract:
+    examples/autoencoder.py:62-70)."""
+    import gzip
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tools'))
+    import import_fashion_mnist as imp
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(24, 28, 28), dtype=np.uint8)
+
+    sources = {}
+    p = str(tmp_path / 'imgs.npy'); np.save(p, images); sources['npy-u8'] = p
+    p = str(tmp_path / 'imgs01.npy')
+    np.save(p, images.astype(np.float32) / 255.0); sources['npy-01'] = p
+    p = str(tmp_path / 'imgs11.npy')
+    np.save(p, images.astype(np.float32) / 255.0 * 2 - 1); sources['npy-11'] = p
+    p = str(tmp_path / 'imgs.npz')
+    np.savez(p, x_train=images); sources['npz'] = p
+    rawdir = tmp_path / 'FashionMNIST_raw'; rawdir.mkdir()
+    idx_path = str(rawdir / 'train-images-idx3-ubyte')
+    native_data.write_idx(idx_path, images)
+    sources['idx'] = idx_path
+    gz_path = idx_path + '.gz'
+    with open(idx_path, 'rb') as f, gzip.open(gz_path, 'wb') as g:
+        g.write(f.read())
+    sources['dir'] = str(rawdir)
+
+    for name, src in sources.items():
+        root = tmp_path / f'root_{name}'
+        dst = imp.import_images(src, str(root))
+        ds = native_data.IdxDataset(dst)
+        assert ds.count == 24, name
+        got = ds.gather(np.arange(24, dtype=np.int64))
+        want = (images.astype(np.float32) / 255.0 - 0.5) / 0.5
+        # float sources lose <1/255 in the u8 round-trip
+        np.testing.assert_allclose(got, want, atol=1.5 / 255, err_msg=name)
+
+    # and the examples' data pipeline picks it up
+    from vqtpu.models import data as data_mod
+    dst = imp.import_images(sources['npy-u8'], str(tmp_path / 'root_pipe'))
+    orig = data_mod._IDX_CANDIDATES
+    try:
+        data_mod._IDX_CANDIDATES = (dst,)
+        batch = next(data_mod.image_batches(batch_size=4, seed=0))
+        assert batch.shape == (4, 28, 28, 1)
+    finally:
+        data_mod._IDX_CANDIDATES = orig
