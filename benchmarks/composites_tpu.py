@@ -12,7 +12,7 @@ import vqtpu
 from vqtpu.utils import timeit_chained
 
 
-def bench(name, module, x, passes_floor_ms, lo=8, hi=72):
+def bench(name, module, x, passes_floor_ms, lo=8, hi=72, ntok=None):
     module.eval()
     graphdef, state = nnx.split(module)
 
@@ -30,13 +30,14 @@ def bench(name, module, x, passes_floor_ms, lo=8, hi=72):
         return jax.tree.leaves(out)[:2]
 
     t = timeit_chained(fwd, jnp.float32(0), x, state, lo=lo, hi=hi)
-    n = x.shape[0] * x.shape[1]
+    n = ntok if ntok is not None else x.shape[0] * x.shape[1]
     if t <= 5e-5:
         print(f'{name:28s}: <0.05 ms (below tunnel timing resolution)')
-        return
+        return t
     print(f'{name:28s}: {t*1e3:7.3f} ms  {n/t/1e6:6.1f} Mtok/s'
           + (f'  (floor {passes_floor_ms:.3f} ms -> '
              f'{passes_floor_ms/(t*1e3)*100:.0f}%)' if passes_floor_ms else ''))
+    return t
 
 
 def main():
@@ -67,12 +68,86 @@ def main():
                                   codebook_size=1024, rngs=rngs(0)),
           x_mid, p(n_mid, 1024, 128, layers=8), lo=2, hi=12)
 
+    # elementwise (VPU/HBM-bound) families: floor = minimal HBM traffic at
+    # the measured v5e stream rate is the honest speed-of-light; these
+    # families never touch the MXU
+    hbm = lambda nbytes: nbytes / 819e9 * 1e3            # ms
+    n_big4 = 256 * 2048
     bench('FSQ levels=8x[8,5..5]',
           vqtpu.FSQ(levels=[8, 5, 5, 5, 5, 5, 5, 5], rngs=rngs(0)),
-          jax.random.normal(key, (256, 2048, 8)), 0, lo=16, hi=144)
+          jax.random.normal(key, (256, 2048, 8)),
+          hbm(2 * n_big4 * 8 * 4), lo=16, hi=144)
     bench('LFQ 2^16',
           vqtpu.LFQ(codebook_size=2 ** 16, dim=16, rngs=rngs(0)),
-          jax.random.normal(key, (256, 2048, 16)), 0, lo=16, hi=144)
+          jax.random.normal(key, (256, 2048, 16)),
+          hbm(2 * n_big4 * 16 * 4), lo=16, hi=144)
+
+    # ---- round-5 full-zoo coverage (VERDICT r4 #2) ----
+
+    # ResidualSimVQ: q MXU-bound selection layers, same floor model as RVQ
+    bench('ResidualSimVQ q=4 c=512',
+          vqtpu.ResidualSimVQ(dim=256, num_quantizers=4, codebook_size=512,
+                              rngs=rngs(0)),
+          x_mid, p(n_mid, 512, 256, layers=4), lo=2, hi=12)
+
+    # HierarchicalVQ: floor = VQ selection over the multi-scale token total
+    # + the per-level full-res 3x3 Phi convs (which dominate)
+    scales, b_hq, d_hq, c_hq, res = (4, 8, 16, 32), 16, 256, 512, 32
+    tok_total = b_hq * sum(s * s for s in scales)
+    vq_flops = 4 * 2 * tok_total * c_hq * d_hq
+    conv_flops = len(scales) * 2 * 9 * d_hq * d_hq * b_hq * res * res
+    bench('HierarchicalVQ 4 scales',
+          vqtpu.HierarchicalVQ(dim=d_hq, codebook_size=c_hq, scales=scales,
+                               accept_image_fmap=True, rngs=rngs(0)),
+          jax.random.normal(key, (b_hq, d_hq, res, res)),
+          (vq_flops + conv_flops) / peak * 1e3, lo=4, hi=24, ntok=tok_total)
+
+    # residual stacks of elementwise quantizers: min traffic = read residual
+    # + write quantized per layer (the accumulators fuse)
+    bench('ResidualFSQ q=8 levels=[8,5,5,5]',
+          vqtpu.ResidualFSQ(dim=4, levels=[8, 5, 5, 5], num_quantizers=8,
+                            rngs=rngs(0)),
+          jax.random.normal(key, (256, 2048, 4)),
+          hbm(2 * 8 * n_big4 * 4 * 4), lo=8, hi=48)
+    bench('ResidualLFQ q=8 c=2^8',
+          vqtpu.ResidualLFQ(dim=16, codebook_size=2 ** 8, num_quantizers=8,
+                            rngs=rngs(0)),
+          jax.random.normal(key, (256, 2048, 16)),
+          hbm(2 * 8 * n_big4 * 16 * 4), lo=8, hi=48)
+
+    # LatentQuantize / FSP at a serving-realistic dim=256 (projected): the
+    # quantization itself is a per-dim VPU op on 3 latent dims; traffic is
+    # the dim=256 in/out stream
+    bench('LatentQuantize d=256->[5,5,8]',
+          vqtpu.LatentQuantize(levels=[5, 5, 8], dim=256, rngs=rngs(0)),
+          jax.random.normal(key, (32, 256, 2048)),
+          hbm(2 * n_mid * 256 * 4), lo=8, hi=48, ntok=n_mid)
+    bench('FSP d=256->[8,6,5]',
+          vqtpu.FSP(levels=[8, 6, 5], dim=256, rngs=rngs(0)),
+          jax.random.normal(key, (32, 2048, 256)),
+          hbm(2 * n_mid * 256 * 4), lo=8, hi=48)
+
+    # BinaryMapper: the (n, 2^bits) one-hot WRITE dominates
+    bench('BinaryMapper bits=8',
+          vqtpu.BinaryMapper(bits=8, rngs=rngs(0)),
+          jax.random.normal(key, (256, 2048, 8)),
+          hbm(n_big4 * (8 + 256 + 1) * 4), lo=8, hi=48)
+
+    # beam search at the BASELINE beam shape (8k tokens): exact lax.top_k
+    # vs approx_topk (lax.approx_max_k) per-layer candidate selection
+    x_beam = jax.random.normal(key, (4, 2048, 256))
+    t_exact = bench(
+        'RVQ beam=4 q=8 c=1024 exact',
+        vqtpu.ResidualVQ(dim=256, num_quantizers=8, codebook_size=1024,
+                         beam_size=4, rngs=rngs(0)),
+        x_beam, 0, lo=2, hi=6)
+    t_approx = bench(
+        'RVQ beam=4 q=8 c=1024 approx',
+        vqtpu.ResidualVQ(dim=256, num_quantizers=8, codebook_size=1024,
+                         beam_size=4, approx_topk=True, rngs=rngs(0)),
+        x_beam, 0, lo=2, hi=6)
+    if t_exact and t_approx:
+        print(f'{"approx_topk speedup":28s}: {t_exact/t_approx:.3f}x')
 
 
 if __name__ == '__main__':
