@@ -158,10 +158,14 @@ def main():
           hbm(n_lat * 256 * 4), lo=8, hi=48, perturb_x=True)
 
     # BinaryMapper: reads (n, bits) logits; the (n, 2^bits) one-hot stays
-    # in the fused consumer
+    # in the fused consumer. deterministic_on_eval: the serving config —
+    # the default (reference-matching) eval path SAMPLES the Bernoullis,
+    # and NNX RngCount mutation cannot cross the timing fori_loop's trace
+    # level.
     n_bm = 1024 * 2048
     bench('BinaryMapper bits=8',
-          vqtpu.BinaryMapper(bits=8, rngs=rngs(0)),
+          vqtpu.BinaryMapper(bits=8, deterministic_on_eval=True,
+                             rngs=rngs(0)),
           jax.random.normal(key, (1024, 2048, 8)),
           hbm(n_bm * 8 * 4), lo=8, hi=48, perturb_x=True)
 
