@@ -33,6 +33,7 @@ class ResidualFSQ(ModeModule):
         quantize_dropout_multiple_of: int = 1,
         soft_clamp_input_value: float | list[float] | None = None,
         bound_hard_clamp: bool = True,
+        eval_fused: str = 'auto',
         rngs: nnx.Rngs | None = None,
         **kwargs,
     ):
@@ -90,6 +91,22 @@ class ResidualFSQ(ModeModule):
             tuple(soft_clamp_input_value) if soft_clamp_input_value is not None
             else None
         )
+
+        # fused-eval Pallas sweep (kernels/residual_fsq_fused.py),
+        # r5-certified DEAD-END for the default path: the kernel itself
+        # beats the XLA loop (1.23 vs 2.2 ms at q=8, d=4, 4.2M tokens)
+        # but feeding it requires materializing the (N, d) tokens in the
+        # (N*d/128, 128) full-lane layout, and that retiling copy costs
+        # ~9 ms on v5e (~140x off bandwidth) — end-to-end 10.4 ms, 0.21x
+        # (tools/tpu_r5_logs/rfsq_fused_ab.log, rfsq_glue_breakdown.log).
+        # 'auto' therefore ALWAYS takes the unrolled XLA loop; 'on' is a
+        # verified escape hatch (bit-identical on silicon; off-TPU,
+        # jit-fusion FMA differences can flip deep-layer bin-edge
+        # indices — decoded reconstructions agree to one deepest-layer
+        # quantum) for callers whose data already lives in the packed
+        # layout or for future hardware with faster relayouts.
+        assert eval_fused in ('auto', 'on', 'off')
+        self.eval_fused = eval_fused
         self.rngs = rngs
 
     def _scales(self) -> jax.Array:
@@ -137,6 +154,28 @@ class ResidualFSQ(ModeModule):
             summed = self.project_out(summed)
         return summed
 
+    def _fused_eval_ok(self) -> bool:
+        """Route this eval forward through the fused Pallas sweep?
+
+        Only with `eval_fused='on'` (explicit opt-in — 'auto' is the XLA
+        loop permanently, see the ctor comment), in eval mode, on the
+        ResidualFSQ configuration proper (preserve-symmetry hard-clamp
+        FSQ stack, single codebook, no inner projections/rotation,
+        f32-forced, indices on). Any other configuration silently keeps
+        the unrolled loop.
+        """
+        if self.eval_fused != 'on' or self.training:
+            return False
+        if self.soft_clamp_input_value is None:
+            return False
+        l0 = self.layers[0]
+        return (
+            l0.preserve_symmetry and l0.bound_hard_clamp
+            and l0.num_codebooks == 1 and not l0.keep_num_codebooks_dim
+            and l0.return_indices and l0.force_quantization_f32
+            and not l0.orthogonal_rotation and not l0.has_projections
+        )
+
     def _draw_dropout_index(self) -> jax.Array:
         key = self.rngs.dropout()
         idx = jax.random.randint(
@@ -163,48 +202,57 @@ class ResidualFSQ(ModeModule):
         if self.project_in is not None:
             x = self.project_in(x)
 
-        if self.soft_clamp_input_value is not None:
-            clamp = jnp.asarray(self.soft_clamp_input_value, x.dtype)
-            x = jnp.tanh(x / clamp) * clamp
-
-        quantized_out = jnp.zeros_like(x)
-        residual = x
-
-        all_indices = []
-
-        should_dropout = self.training and self.quantize_dropout
-        dropout_index = None
-        if should_dropout:
-            dropout_index = default(
-                rand_quantize_dropout_index, self._draw_dropout_index()
+        if self._fused_eval_ok():
+            from ..kernels.residual_fsq_fused import fused_residual_fsq_eval
+            quantized_out, all_indices = fused_residual_fsq_eval(
+                x, self._scales(), levels=self.levels,
+                clamp=self.soft_clamp_input_value,
+                num_quantizers=self.num_quantizers,
+                interpret=jax.default_backend() != 'tpu',
             )
+        else:
+            if self.soft_clamp_input_value is not None:
+                clamp = jnp.asarray(self.soft_clamp_input_value, x.dtype)
+                x = jnp.tanh(x / clamp) * clamp
 
-        scales = self._scales()
-        orig_dtype = x.dtype
-        residual = residual.astype(jnp.float32)
-        quantized_out = quantized_out.astype(jnp.float32)
+            quantized_out = jnp.zeros_like(x)
+            residual = x
 
-        for quantizer_index, layer in enumerate(self.layers):
-            scale = scales[quantizer_index]
+            all_indices = []
 
-            quantized, indices = layer(residual / scale)
-            quantized = quantized.astype(jnp.float32) * scale
+            should_dropout = self.training and self.quantize_dropout
+            dropout_index = None
+            if should_dropout:
+                dropout_index = default(
+                    rand_quantize_dropout_index, self._draw_dropout_index()
+                )
 
-            if dropout_index is not None:
-                keep = quantizer_index <= dropout_index
-                quantized = jnp.where(keep, quantized, 0.0)
-                indices = jnp.where(keep, indices, -1)
+            scales = self._scales()
+            orig_dtype = x.dtype
+            residual = residual.astype(jnp.float32)
+            quantized_out = quantized_out.astype(jnp.float32)
 
-            residual = residual - sg(quantized)
-            quantized_out = quantized_out + quantized
+            for quantizer_index, layer in enumerate(self.layers):
+                scale = scales[quantizer_index]
 
-            all_indices.append(indices)
+                quantized, indices = layer(residual / scale)
+                quantized = quantized.astype(jnp.float32) * scale
 
-        quantized_out = quantized_out.astype(orig_dtype)
+                if dropout_index is not None:
+                    keep = quantizer_index <= dropout_index
+                    quantized = jnp.where(keep, quantized, 0.0)
+                    indices = jnp.where(keep, indices, -1)
+
+                residual = residual - sg(quantized)
+                quantized_out = quantized_out + quantized
+
+                all_indices.append(indices)
+
+            quantized_out = quantized_out.astype(orig_dtype)
+            all_indices = jnp.stack(all_indices, axis=-1)
+
         if self.project_out is not None:
             quantized_out = self.project_out(quantized_out)
-
-        all_indices = jnp.stack(all_indices, axis=-1)
 
         if self.is_channel_first:
             quantized_out = quantized_out.reshape(
