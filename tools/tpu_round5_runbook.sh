@@ -25,3 +25,21 @@ run grouped_median python benchmarks/grouped_median_tpu.py
 
 # 4. driver metric confirmation (VERDICT #10)
 run bench_r5 python bench.py
+
+# ---- third r5 session (zoo completion + fused ResidualFSQ verdict) ----
+
+# 5. elementwise zoo subset, perturb-hardened (VERDICT #2 completion)
+run composites_zoo_ew_e python benchmarks/composites_tpu.py ew
+
+# 6. HierarchicalVQ probes: NHWC layout A/B + kmeans-cond eval tax
+run hq_nhwc_probe python benchmarks/hq_nhwc_probe.py
+run hq_kmeans_ab python benchmarks/hq_kmeans_ab.py
+
+# 7. ResidualFSQ root-cause batch: layout A/Bs + stream calibration
+run fsq_pack_probe python benchmarks/fsq_pack_probe.py
+
+# 8. fused ResidualFSQ kernel A/B + exactness gate (eval_fused)
+run rfsq_fused_ab python benchmarks/rfsq_fused_tpu.py
+
+# 9. final driver-metric capture
+run bench_r5_final python bench.py
